@@ -102,7 +102,15 @@ class TestGPTQ:
         scale, zero = _find_params(jnp.array(w), 4, True, 1, 1.0, QuantType.INT)
         codes = jnp.clip(jnp.round(jnp.array(w) / scale) + zero, 0, 15)
         rtn = np.asarray(scale * (codes - zero))
-        np.testing.assert_allclose(q, rtn, atol=1e-5)
+        s = np.asarray(scale)
+        # Exact-half grid points (e.g. w == -absmax -> w/scale == -7.5) may round
+        # either way depending on whether the compiler emits x/s or x*(1/s);
+        # allow a one-level difference there and demand exactness elsewhere.
+        ratio = w / s
+        near_half = np.abs(ratio - np.floor(ratio) - 0.5) < 1e-3
+        diff = np.abs(q - rtn)
+        assert (diff[~near_half] <= 1e-5).all()
+        assert (diff[near_half] <= s.repeat(w.shape[1], 1)[near_half] + 1e-5).all()
 
     def test_correlated_hessian_beats_rtn(self):
         # On a correlated Hessian, GPTQ's compensated solution must achieve a
