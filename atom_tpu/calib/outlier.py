@@ -117,8 +117,12 @@ class SaliencyAccumulator:
         per-head descending (``model/outlier.py:235-252``)."""
         out: Dict[str, jnp.ndarray] = {}
         for name, sal in self.stats.items():
-            if name.endswith(".output"):
+            if name.endswith(".output") and sal.shape[0] % head_dim == 0:
                 out[name] = reorder_index_per_head(sal, head_dim)
+            elif name.endswith(".output"):
+                # Outputs narrower than a head (e.g. a MoE router gate) have no
+                # per-head structure; their index is never used for reordering.
+                out[name] = reorder_index_ascending(sal)
             else:
                 out[name] = reorder_index_ascending(sal)
         return out

@@ -103,13 +103,25 @@ def quantize_model_gptq(
         lambda lp, x: m.forward_layer(lp, x, *aux, cfg, spec)[0]
     )
 
+    def quantize_fn(w_out_in, hessian):
+        return gptq_quantize_weight(
+            w_out_in,
+            hessian,
+            bits=spec.wbits,
+            sym=spec.w_sym,
+            group_size=spec.weight_group_size,
+            channel_group=spec.weight_channel_group,
+            keeper=spec.keeper,
+            keeper_precision=spec.keeper_precision,
+            quant_type=spec.quant_type,
+            percdamp=spec.percdamp,
+            clip_ratio=spec.w_clip_ratio,
+        )
+
+    tap_specs = m.hessian_tap_specs(cfg)
     for i in range(cfg.num_layers):
         lp = m.get_layer(params, i)
-        shared = m.shared_input_groups(cfg)
-        states = {
-            tapname: gptq_init(int(lp[wnames[0]].shape[0]))
-            for tapname, wnames in shared.items()
-        }
+        states = {t: gptq_init(f) for t, f in tap_specs.items()}
         for x in xs:
             _, taps = m.forward_layer(
                 lp, x, *aux, cfg, spec, collect_taps=True
@@ -117,23 +129,9 @@ def quantize_model_gptq(
             for tapname in states:
                 states[tapname] = gptq_add_batch(states[tapname], taps[tapname])
 
-        lp_q = dict(lp)
-        for tapname, wnames in shared.items():
-            h = states[tapname].hessian
-            for wname in wnames:
-                lp_q[wname] = gptq_quantize_weight(
-                    lp[wname].T,  # [out, in] for the core
-                    h,
-                    bits=spec.wbits,
-                    sym=spec.w_sym,
-                    group_size=spec.weight_group_size,
-                    channel_group=spec.weight_channel_group,
-                    keeper=spec.keeper,
-                    keeper_precision=spec.keeper_precision,
-                    quant_type=spec.quant_type,
-                    percdamp=spec.percdamp,
-                    clip_ratio=spec.w_clip_ratio,
-                ).T
+        lp_q = m.gptq_apply(
+            lp, {t: s.hessian for t, s in states.items()}, quantize_fn
+        )
         params = m.set_layer(params, i, lp_q)
         xs = [layer_fwd(lp_q, x) for x in xs]
     return params

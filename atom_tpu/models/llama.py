@@ -208,17 +208,38 @@ def layer_aux(params: Params, cfg: ModelConfig, seqlen: int):
     return cos, sin, causal_mask(seqlen, seqlen)
 
 
-def shared_input_groups(cfg: ModelConfig) -> Dict[str, tuple]:
-    """Distinct linear-input tap -> weight names fed by it (GPTQ Hessian sharing).
+def hessian_tap_specs(cfg: ModelConfig) -> Dict[str, int]:
+    """Distinct linear-input taps needing a GPTQ Hessian -> input feature count.
 
-    q/k/v see the same (normed, reordered, quantized) tensor; so do gate/up.
+    q/k/v see the same (normed, reordered, quantized) tensor; so do gate/up —
+    one Hessian each instead of the reference's three separate accumulators.
     """
+    h = cfg.hidden_size
     return {
+        "self_attn.q_proj.input": h,
+        "self_attn.o_proj.input": cfg.num_heads * cfg.head_dim,
+        "mlp.gate_proj.input": h,
+        "mlp.down_proj.input": cfg.intermediate_size,
+    }
+
+
+def gptq_apply(lp: Params, hessians: Dict[str, jnp.ndarray], quantize_fn) -> Params:
+    """Quantize one layer's linears against their input Hessians.
+
+    ``quantize_fn(w_out_in, hessian) -> w_q`` operates in [out, in] convention.
+    """
+    wiring = {
         "self_attn.q_proj.input": ("wq", "wk", "wv"),
         "self_attn.o_proj.input": ("wo",),
         "mlp.gate_proj.input": ("wgate", "wup"),
         "mlp.down_proj.input": ("wdown",),
     }
+    lp = dict(lp)
+    for tapname, wnames in wiring.items():
+        h = hessians[tapname]
+        for wname in wnames:
+            lp[wname] = quantize_fn(lp[wname].T, h).T
+    return lp
 
 
 def head(params: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
