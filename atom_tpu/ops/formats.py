@@ -1,0 +1,184 @@
+"""Packed tensor formats for the real (serving) quantized compute path.
+
+The reference's serving weights live as ``weight_int4 [out, (in-128)/2] u8 +
+weight_int8 [out, 128] i8 + scale_int4 + scale_int8``
+(``e2e/punica-atom/punica/models/llama.py:35-59``), with activation scales in an
+``ldmatrix``-driven replicated layout (``scale_size`` — ``ops/__init__.py:137-138``).
+On TPU none of that layout exotica is needed (SURVEY.md §7): scales are plain
+``[rows, n_groups]`` arrays, INT4 codes travel packed 2-per-int8-byte, and the
+MXU consumes the unpacked int8 operands directly.
+
+Scale semantics (symmetric body / keeper, the canonical Atom config):
+    x ~ codes_i4 * scale_group        (body, per 128-group)
+    x ~ codes_i8 * keeper_scale       (keeper block, per row/token)
+Weight scales are shared across ``weight_channel_group`` adjacent output
+channels but stored EXPANDED to [out, n_groups] so kernels never re-index.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from atom_tpu.config import KeeperPrecision, QuantSpec
+from atom_tpu.quant.core import compute_scale_sym, quantize_groups
+from atom_tpu.quant.packing import pack_int4, unpack_int4
+
+
+class PackedWeight(NamedTuple):
+    """W4A4 dual-path linear weight: INT4 body + INT8 keeper columns.
+
+    For a logical [in, out] weight (kernel convention) with ``keeper`` trailing
+    input channels:
+      * ``body``:   int8 [in - keeper, out]   — int4 codes, UNPACKED carrier
+                     (int4 values in int8; TPU MXU consumes int8 natively, and
+                     XLA stores this densely; the packed on-disk form is
+                     ``pack_body()``);
+      * ``body_scale``: f32 [n_groups, out]   — per-128-group, channel-group
+                     expanded;
+      * ``keeper``: int8 [keeper, out]        — INT8 codes;
+      * ``keeper_scale``: f32 [out]           — per output channel (cg expanded).
+    """
+
+    body: jnp.ndarray
+    body_scale: jnp.ndarray
+    keeper: jnp.ndarray
+    keeper_scale: jnp.ndarray
+
+    @property
+    def in_features(self) -> int:
+        return self.body.shape[0] + self.keeper.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.body.shape[1]
+
+
+class QuantizedActivation(NamedTuple):
+    """Dynamically quantized activation: INT4 body + INT8 keeper block.
+
+      * ``body``:   int8 [tokens, d - keeper] — int4 codes;
+      * ``body_scale``: f32 [tokens, n_groups];
+      * ``keeper``: int8 [tokens, keeper];
+      * ``keeper_scale``: f32 [tokens, 1].
+    """
+
+    body: jnp.ndarray
+    body_scale: jnp.ndarray
+    keeper: jnp.ndarray
+    keeper_scale: jnp.ndarray
+
+
+def quantize_weight_packed(
+    w: jnp.ndarray, spec: QuantSpec
+) -> PackedWeight:
+    """RTN-quantize a [in, out] weight into the packed dual-path format.
+
+    For GPTQ-calibrated weights use :func:`pack_gptq_output` instead (the codes
+    come out of the GPTQ loop itself; re-deriving them from the fake values is
+    not exact when a group's minimum sits on the -2^(b-1) clamp).
+    """
+    assert spec.w_sym, "packed serving path implements the canonical symmetric config"
+    assert spec.keeper_precision in (KeeperPrecision.INT8,), (
+        "serving keeper path is INT8 (canonical config)"
+    )
+    in_f, out_f = w.shape
+    k = spec.keeper
+    g = spec.weight_group_size
+    body_w = w[: in_f - k].T.astype(jnp.float32)  # [out, in-k]
+    keep_w = w[in_f - k :].T.astype(jnp.float32)  # [out, k]
+
+    cg = spec.weight_channel_group
+    n_groups = (in_f - k) // g
+    # Channel-group scale: absmax over (cg rows x group).
+    bw = body_w.reshape(out_f // cg, cg, n_groups, g)
+    bw_merged = jnp.swapaxes(bw, 1, 2).reshape(out_f // cg, n_groups, cg * g)
+    scale = compute_scale_sym(bw_merged, spec.wbits, spec.w_clip_ratio)  # [out/cg, ng, 1]
+    scale_exp = jnp.repeat(scale[:, :, 0].T[:, :, None], cg, axis=2)  # [ng, out/cg, cg]
+    scale_exp = scale_exp.reshape(n_groups, out_f)  # [ng, out]
+
+    qmin, qmax = -(2 ** (spec.wbits - 1)), 2 ** (spec.wbits - 1) - 1
+    grouped = body_w.reshape(out_f, n_groups, g)
+    codes = jnp.clip(
+        jnp.round(grouped / scale_exp.T[:, :, None]), qmin, qmax
+    ).astype(jnp.int8)
+    body = codes.reshape(out_f, in_f - k).T  # [in-k, out]
+
+    kq = quantize_groups(keep_w, bits=8, sym=True)  # per out-channel over keeper
+    return PackedWeight(
+        body=body,
+        body_scale=scale_exp,
+        keeper=kq.codes.T,
+        keeper_scale=kq.scale[:, 0],
+    )
+
+
+def quantize_activation_packed(
+    x: jnp.ndarray, spec: QuantSpec
+) -> QuantizedActivation:
+    """Dynamically quantize [tokens, d] activations into the dual-path format.
+
+    jnp reference for the fused Pallas epilogues (RMSNorm/Activate/Reorder):
+    symmetric per-128-group INT4 body + per-token INT8 keeper
+    (``Reorder.cuh:119-189``-equivalent semantics).
+    """
+    assert spec.a_sym
+    t, d = x.shape
+    k = spec.keeper
+    g = spec.act_group_size
+    x32 = x.astype(jnp.float32)
+    body, keep = x32[:, : d - k], x32[:, d - k :]
+
+    n_groups = (d - k) // g
+    grouped = body.reshape(t, n_groups, g)
+    bq = quantize_groups(grouped, spec.abits, sym=True, clip_ratio=spec.a_clip_ratio)
+    kq = quantize_groups(keep, bits=8, sym=True)
+    return QuantizedActivation(
+        body=bq.codes.reshape(t, d - k),
+        body_scale=bq.scale[..., 0],
+        keeper=kq.codes,
+        keeper_scale=kq.scale,
+    )
+
+
+def dequantize_activation(qa: QuantizedActivation, dtype=jnp.bfloat16) -> jnp.ndarray:
+    t = qa.body.shape[0]
+    g = qa.body.shape[1] // qa.body_scale.shape[1]
+    body = (
+        qa.body.reshape(t, -1, g).astype(jnp.float32)
+        * qa.body_scale[..., None]
+    ).reshape(t, -1)
+    keep = qa.keeper.astype(jnp.float32) * qa.keeper_scale
+    return jnp.concatenate([body, keep], axis=-1).astype(dtype)
+
+
+def dequantize_weight(pw: PackedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Back to a logical [in, out] float weight (test utility)."""
+    n_groups, out_f = pw.body_scale.shape
+    g = pw.body.shape[0] // n_groups
+    body = (
+        pw.body.T.reshape(out_f, n_groups, g).astype(jnp.float32)
+        * pw.body_scale.T[:, :, None]
+    ).reshape(out_f, -1).T
+    keep = (pw.keeper.astype(jnp.float32) * pw.keeper_scale[None, :])
+    return jnp.concatenate([body, keep], axis=0).astype(dtype)
+
+
+def pack_weight_storage(pw: PackedWeight) -> dict:
+    """2-per-byte packed form for checkpoints / HBM residency accounting."""
+    return {
+        "body_packed": pack_int4(pw.body.T).T,  # pack along input axis
+        "body_scale": pw.body_scale.astype(jnp.bfloat16),
+        "keeper": pw.keeper,
+        "keeper_scale": pw.keeper_scale.astype(jnp.bfloat16),
+    }
+
+
+def unpack_weight_storage(d: dict) -> PackedWeight:
+    return PackedWeight(
+        body=unpack_int4(d["body_packed"].T).T,
+        body_scale=d["body_scale"].astype(jnp.float32),
+        keeper=d["keeper"],
+        keeper_scale=d["keeper_scale"].astype(jnp.float32),
+    )
