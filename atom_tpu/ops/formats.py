@@ -165,6 +165,63 @@ def dequantize_weight(pw: PackedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
     return jnp.concatenate([body, keep], axis=0).astype(dtype)
 
 
+class KernelPackedWeight(NamedTuple):
+    """HBM-resident 4-bit weight layout for the Pallas GEMM (nibble planes).
+
+    For each 128-wide quantization group g, byte row r in [0, 64):
+        low  nibble of ``body_packed[g*64 + r, n]`` = code[g*128 + r,      n]
+        high nibble of ``body_packed[g*64 + r, n]`` = code[g*128 + 64 + r, n]
+    This "nibble plane" layout unpacks with two VPU shifts into two
+    sublane-contiguous [64, N] halves — no interleave/shuffle — so the kernel
+    pays zero data rearrangement for the 2x HBM-traffic saving.  (The CUDA
+    equivalent is the 8-per-u32 unpack feeding ``ldmatrix``,
+    ``quantization.cuh:66-80`` — layout chosen for the memory system, not the
+    math.)
+
+      * ``body_packed``: int8 [(in - keeper) // 2, out]
+      * ``body_scale``:  f32 [n_groups, out]
+      * ``keeper``:      int8 [keeper, out]  (full INT8 range — not packable)
+      * ``keeper_scale``: f32 [out]
+    """
+
+    body_packed: jnp.ndarray
+    body_scale: jnp.ndarray
+    keeper: jnp.ndarray
+    keeper_scale: jnp.ndarray
+
+
+def pack_for_kernel(pw: PackedWeight, group: int = 128) -> KernelPackedWeight:
+    """PackedWeight (unpacked codes) -> nibble-plane 4-bit kernel layout."""
+    kb, n = pw.body.shape
+    ng = kb // group
+    codes = pw.body.reshape(ng, group, n)
+    lo = codes[:, : group // 2]  # [ng, 64, n]
+    hi = codes[:, group // 2 :]
+    packed = (lo.astype(jnp.uint8) & 0x0F) | (hi.astype(jnp.uint8) << 4)
+    return KernelPackedWeight(
+        body_packed=packed.astype(jnp.int8).reshape(kb // 2, n),
+        body_scale=pw.body_scale,
+        keeper=pw.keeper,
+        keeper_scale=pw.keeper_scale,
+    )
+
+
+def unpack_from_kernel(kw: KernelPackedWeight, group: int = 128) -> PackedWeight:
+    """Inverse of :func:`pack_for_kernel` (tests / tooling)."""
+    half, n = kw.body_packed.shape
+    ng = half // (group // 2)
+    pb = kw.body_packed.reshape(ng, group // 2, n)
+    lo = ((pb << 4) >> 4).astype(jnp.int8)  # arithmetic shift sign-extends
+    hi = (pb >> 4).astype(jnp.int8)
+    codes = jnp.concatenate([lo, hi], axis=1).reshape(ng * group, n)
+    return PackedWeight(
+        body=codes,
+        body_scale=kw.body_scale,
+        keeper=kw.keeper,
+        keeper_scale=kw.keeper_scale,
+    )
+
+
 def pack_weight_storage(pw: PackedWeight) -> dict:
     """2-per-byte packed form for checkpoints / HBM residency accounting."""
     return {
