@@ -206,6 +206,9 @@ def quant_gemm_packed(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ``ops.reference.quant_gemm`` with 4-bit HBM weights."""
+    from atom_tpu.ops.runtime import interpret_default
+
+    interpret = interpret_default(interpret)
     a, sa = assemble_activation(qa)
     sw = jnp.concatenate([kw.body_scale, kw.keeper_scale[None, :]], axis=0)
     out = packed_w4_gemm(a, kw.body_packed, kw.keeper, sa, sw, interpret=interpret)

@@ -1,0 +1,204 @@
+"""FCFS continuous-batching text-generation engine (Orca-style).
+
+TPU redesign of the reference's scheduler loop (``bench_textgen.py:68-192``):
+same policy — refill the workset up to ``batch_size``, greedy sampling, fixed
+output lengths, per-request latency accounting — but the per-iteration work is
+two bucketed jitted programs (prefill per new request, one decode step for the
+whole workset) instead of one ragged mixed call, and sampled ids STAY ON
+DEVICE between steps (the only host->device traffic per step is the small
+page-table/seq-len metadata, mirroring the reference's CSR upload,
+``kvcache.py:120-123``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atom_tpu.serving.kvpool import KvPool, SeqKvCache, batch_page_table
+from atom_tpu.serving.workload import RequestSet
+
+
+@dataclasses.dataclass
+class TextGenConfig:
+    batch_size: int = 32
+    page_size: int = 128
+    max_seq_len: int = 2048
+    prefill_buckets: tuple = (128, 256, 512, 1024)
+    # pool sizing: pages for batch_size full-length seqs + slack
+    pool_slack_pages: int = 8
+
+
+@dataclasses.dataclass
+class RequestStat:
+    prompt_len: int
+    output_len: int
+    submit_t: float = 0.0
+    first_token_t: float = 0.0
+    finish_t: float = 0.0
+
+    @property
+    def ttft(self) -> float:
+        return self.first_token_t - self.submit_t
+
+    @property
+    def per_token_latency(self) -> float:
+        n = max(self.output_len - 1, 1)
+        return (self.finish_t - self.first_token_t) / n
+
+
+class _ActiveSeq:
+    def __init__(self, idx: int, kv: SeqKvCache, out_len: int, stat: RequestStat):
+        self.idx = idx
+        self.kv = kv
+        self.remaining = out_len
+        self.stat = stat
+
+
+class TextGenEngine:
+    """Drives (prefill_fn, decode_fn) over a request set with continuous
+    batching.  The step functions are model-agnostic (quantized Llama, bf16
+    baseline, ... supply their own):
+
+      prefill_fn(pages, ids[T], table_row, true_len) -> (token, pages)
+      decode_fn(pages, ids[B], page_table, seq_lens, dest_page, dest_slot)
+          -> (next_ids[B], pages)
+    """
+
+    def __init__(
+        self,
+        cfg: TextGenConfig,
+        pool: KvPool,
+        prefill_fn: Callable,
+        decode_fn: Callable,
+    ):
+        self.cfg = cfg
+        self.pool = pool
+        self.prefill_fn = prefill_fn
+        self.decode_fn = decode_fn
+        self.max_pages = -(-cfg.max_seq_len // cfg.page_size)
+
+    def _bucket(self, t: int) -> int:
+        for b in self.cfg.prefill_buckets:
+            if t <= b:
+                return b
+        raise ValueError(f"prompt length {t} exceeds largest prefill bucket")
+
+    def run(self, rs: RequestSet, progress: bool = False) -> dict:
+        cfg = self.cfg
+        bsz = cfg.batch_size
+        pages = self.pool.pages  # device pytree, threaded through the steps
+        stats: List[RequestStat] = [
+            RequestStat(int(p), int(o))
+            for p, o in zip(rs.prompt_lens, rs.output_lens)
+        ]
+
+        workset: List[Optional[_ActiveSeq]] = [None] * bsz
+        next_req = 0
+        done = 0
+        n_req = len(rs)
+        # per-slot current token ids live ON DEVICE [bsz]
+        ids_dev = jnp.zeros((bsz,), jnp.int32)
+
+        t_start = time.perf_counter()
+        n_decode_steps = 0
+        while done < n_req:
+            now = time.perf_counter()
+            # --- admit new requests into free slots (FCFS) ---
+            for slot in range(bsz):
+                if workset[slot] is not None or next_req >= n_req:
+                    continue
+                r = next_req
+                next_req += 1
+                stats[r].submit_t = now
+                prompt = rs.prompts[r]
+                t_true = len(prompt)
+                kv = SeqKvCache(self.pool, t_true)
+                seq = _ActiveSeq(r, kv, int(rs.output_lens[r]), stats[r])
+                bucket = self._bucket(t_true)
+                ids = np.zeros((bucket,), np.int32)
+                ids[:t_true] = prompt
+                table_row = np.zeros((self.max_pages,), np.int32)
+                table_row[: len(kv.page_ids)] = kv.page_ids
+                tok, pages = self.prefill_fn(
+                    pages,
+                    jnp.asarray(ids),
+                    jnp.asarray(table_row),
+                    jnp.int32(t_true),
+                )
+                ids_dev = ids_dev.at[slot].set(tok)
+                stats[r].first_token_t = time.perf_counter()
+                seq.remaining -= 1
+                if seq.remaining == 0:  # single-token outputs finish here
+                    stats[r].finish_t = stats[r].first_token_t
+                    kv.release()
+                    done += 1
+                else:
+                    workset[slot] = seq
+
+            active = [s for s in workset if s is not None]
+            if not active:
+                continue
+
+            # --- one decode step over the whole workset ---
+            dest_page = np.zeros((bsz,), np.int32)
+            dest_slot = np.zeros((bsz,), np.int32)
+            for slot in range(bsz):
+                s = workset[slot]
+                if s is None:
+                    continue
+                pg, sl, _ = s.kv.append_slot()
+                dest_page[slot] = pg
+                dest_slot[slot] = sl
+            table, lens = batch_page_table(
+                [s.kv if s else None for s in workset], self.max_pages
+            )
+            ids_dev, pages = self.decode_fn(
+                pages,
+                ids_dev,
+                jnp.asarray(table),
+                jnp.asarray(lens),
+                jnp.asarray(dest_page),
+                jnp.asarray(dest_slot),
+            )
+            n_decode_steps += 1
+
+            now = time.perf_counter()
+            for slot in range(bsz):
+                s = workset[slot]
+                if s is None:
+                    continue
+                s.remaining -= 1
+                if s.remaining == 0:
+                    s.stat.finish_t = now  # approx: batched fetch below settles it
+                    s.kv.release()
+                    workset[slot] = None
+                    done += 1
+            if progress and done % 8 == 0:
+                print(f"  done {done}/{n_req}", flush=True)
+
+        # Execution barrier: everything above is async; fetch one scalar.
+        _ = int(jnp.sum(ids_dev))
+        elapsed = time.perf_counter() - t_start
+        self.pool.pages = pages
+
+        out_tokens = rs.total_output_tokens
+        ttfts = np.array([s.ttft for s in stats])
+        ptls = np.array([s.per_token_latency for s in stats])
+        return {
+            "elapsed_s": elapsed,
+            "requests": n_req,
+            "decode_steps": n_decode_steps,
+            "total_tokens": rs.total_tokens,
+            "output_tokens": out_tokens,
+            "throughput_tok_s": rs.total_tokens / elapsed,
+            "output_tok_s": out_tokens / elapsed,
+            "ttft_avg_s": float(ttfts.mean()),
+            "ttft_p90_s": float(np.percentile(ttfts, 90)),
+            "decode_ms_per_token_avg": float(ptls.mean() * 1e3),
+            "decode_ms_per_token_p90": float(np.percentile(ptls, 90) * 1e3),
+        }

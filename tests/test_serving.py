@@ -1,0 +1,121 @@
+"""Serving engine end-to-end smoke + consistency tests (CPU, tiny geometry).
+
+The reference's serving tests are launch smoke tests (`test_int4.py`) plus a
+decode-vs-reference numerics test; here the engine additionally runs REAL
+quantized weights end-to-end, so we can assert decode/prefill consistency:
+generating token-by-token must reproduce the tokens a longer prefill predicts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atom_tpu.config import QuantSpec
+from atom_tpu.models.configs import ModelConfig, Arch
+from atom_tpu.serving import (
+    KvPool,
+    RequestSet,
+    TextGenConfig,
+    TextGenEngine,
+)
+from atom_tpu.serving.model import init_serving_params, make_step_fns
+
+TINY = ModelConfig(
+    arch=Arch.LLAMA,
+    vocab_size=199,
+    hidden_size=256,
+    intermediate_size=384,
+    num_layers=2,
+    num_heads=2,
+    num_kv_heads=2,
+    head_dim=128,
+    max_position_embeddings=512,
+)
+SPEC = QuantSpec(weight_channel_group=1)
+
+
+def _make_engine(batch_size=4, n_pages=24):
+    pool = KvPool(
+        TINY.num_layers, n_pages, TINY.num_kv_heads, 128, TINY.head_dim
+    )
+    params = init_serving_params(jax.random.PRNGKey(0), TINY, SPEC)
+    prefill_fn, decode_fn = make_step_fns(params, TINY, SPEC)
+    cfg = TextGenConfig(
+        batch_size=batch_size,
+        max_seq_len=512,
+        prefill_buckets=(64, 128),
+    )
+    return TextGenEngine(cfg, pool, prefill_fn, decode_fn), pool
+
+
+def test_engine_completes_workload():
+    engine, pool = _make_engine()
+    rng = np.random.Generator(np.random.PCG64(3))
+    n_req = 6
+    prompt_lens = rng.integers(3, 40, n_req).astype(np.int32)
+    output_lens = rng.integers(2, 20, n_req).astype(np.int32)
+    rs = RequestSet(
+        prompt_lens,
+        output_lens,
+        [rng.integers(1, TINY.vocab_size, p).astype(np.int32) for p in prompt_lens],
+    )
+    free_before = pool.num_free_pages
+    result = engine.run(rs)
+    assert result["requests"] == n_req
+    assert result["output_tokens"] == int(output_lens.sum())
+    assert result["throughput_tok_s"] > 0
+    # all pages returned to the pool
+    assert pool.num_free_pages == free_before
+
+
+def test_decode_matches_prefill_continuation():
+    """Greedy tokens from step-by-step decode == prefill-with-longer-prompt
+    prediction, through the REAL quantized KV cache."""
+    from atom_tpu.serving.kvpool import SeqKvCache, batch_page_table
+    from atom_tpu.serving.model import prefill_step, decode_step
+
+    pool = KvPool(TINY.num_layers, 12, TINY.num_kv_heads, 128, TINY.head_dim)
+    params = init_serving_params(jax.random.PRNGKey(1), TINY, SPEC)
+    rng = np.random.Generator(np.random.PCG64(9))
+    prompt = rng.integers(1, TINY.vocab_size, 17).astype(np.int32)
+
+    # Path A: prefill prompt, then 3 decode steps.
+    kv = SeqKvCache(pool, len(prompt))
+    bucket = 32
+    ids = np.zeros((bucket,), np.int32)
+    ids[: len(prompt)] = prompt
+    table_row = np.zeros((4,), np.int32)
+    table_row[: len(kv.page_ids)] = kv.page_ids
+    pages = pool.pages
+    tok, pages = prefill_step(
+        params, pages, jnp.asarray(ids), jnp.asarray(table_row),
+        jnp.int32(len(prompt)), TINY, SPEC,
+    )
+    generated = [int(tok)]
+    for _ in range(3):
+        pg, sl, new_len = kv.append_slot()
+        table, lens = batch_page_table([kv], 4)
+        tok, pages = decode_step(
+            params, pages,
+            jnp.asarray([generated[-1]], jnp.int32),
+            jnp.asarray(table), jnp.asarray(lens),
+            jnp.asarray([pg], jnp.int32), jnp.asarray([sl], jnp.int32),
+            TINY, SPEC,
+        )
+        generated.append(int(tok[0]))
+
+    # Path B: prefill (prompt + generated[:k]) and compare next-token preds.
+    for k in range(1, 4):
+        kv2 = SeqKvCache(pool, len(prompt) + k)
+        ids2 = np.zeros((bucket,), np.int32)
+        seq = np.concatenate([prompt, np.asarray(generated[:k], np.int32)])
+        ids2[: len(seq)] = seq
+        tr2 = np.zeros((4,), np.int32)
+        tr2[: len(kv2.page_ids)] = kv2.page_ids
+        tok2, pages = prefill_step(
+            params, pages, jnp.asarray(ids2), jnp.asarray(tr2),
+            jnp.int32(len(seq)), TINY, SPEC,
+        )
+        assert int(tok2) == generated[k], (
+            f"decode diverged at step {k}: {int(tok2)} != {generated[k]}"
+        )
+        kv2.release()
