@@ -1,0 +1,203 @@
+"""Accuracy-pipeline CLI — the analog of the reference's ``model/main.py``.
+
+Same flag surface (``model/main.py:58-191``), same pipeline sequencing
+(calibrate -> reorder -> weight quant -> eval, ``main.py:224-278``), same
+grep-able result lines (``targetResult,<dataset>,<ppl>`` — ``main.py:278``).
+
+    python -m atom_tpu.main llama2-7b wikitext2 --wbits 4 --abits 4 \
+        --reorder --keeper 128 --keeper_precision 3 --use_gptq \
+        --a_clip_ratio 0.9 --w_clip_ratio 0.85 --kv_cache --eval_ppl
+
+Model names resolve to built-in geometries (random weights — this environment
+has no checkpoint egress) or to a local HF checkpoint directory via
+``--hf_path``; datasets resolve through ``calib.data.get_loaders`` with a
+seeded synthetic fallback when the HF datasets cache is unavailable.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+MODEL_PRESETS = {
+    "llama-7b": "LLAMA_7B",
+    "llama-13b": "LLAMA_13B",
+    "llama-30b": "LLAMA_30B",
+    "llama-65b": "LLAMA_65B",
+    "llama2-7b": "LLAMA2_7B",
+    "llama2-13b": "LLAMA2_13B",
+    "llama2-70b": "LLAMA2_70B",
+    "opt-125m": "OPT_125M",
+    "opt-1.3b": "OPT_1_3B",
+    "opt-6.7b": "OPT_6_7B",
+    "mixtral-8x7b": "MIXTRAL_8X7B",
+    "tiny-llama": "TINY_LLAMA",
+    "tiny-llama-gqa": "TINY_LLAMA_GQA",
+    "tiny-opt": "TINY_OPT",
+    "tiny-mixtral": "TINY_MIXTRAL",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "atom_tpu.main", description="Atom W4A4 quantization + evaluation pipeline"
+    )
+    p.add_argument("model", choices=sorted(MODEL_PRESETS), help="model geometry")
+    p.add_argument(
+        "dataset",
+        choices=["wikitext2", "ptb", "c4", "synthetic"],
+        help="calibration dataset",
+    )
+    # quantization scheme (model/main.py:58-191 flag surface)
+    p.add_argument("--wbits", type=int, default=4)
+    p.add_argument("--abits", type=int, default=4)
+    p.add_argument("--w_asym", action="store_true")
+    p.add_argument("--a_asym", action="store_true")
+    p.add_argument("--weight_group_size", type=int, default=128)
+    p.add_argument("--act_group_size", type=int, default=128)
+    p.add_argument("--weight_channel_group", type=int, default=2)
+    p.add_argument("--reorder", action="store_true")
+    p.add_argument("--no-reorder", dest="reorder", action="store_false")
+    p.add_argument(
+        "--act_sort_metric", choices=["hessian", "abs_mean"], default="hessian"
+    )
+    p.add_argument("--keeper", type=int, default=128)
+    p.add_argument(
+        "--keeper_precision", type=int, default=3,
+        help="0=float 1=E5M2 2=E4M3 3=INT8",
+    )
+    p.add_argument("--a_clip_ratio", type=float, default=0.9)
+    p.add_argument("--w_clip_ratio", type=float, default=0.85)
+    p.add_argument("--kv_clip_ratio", type=float, default=1.0)
+    p.add_argument("--kv_cache", action="store_true", default=True)
+    p.add_argument("--no-kv_cache", dest="kv_cache", action="store_false")
+    p.add_argument("--use_gptq", action="store_true")
+    p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--quant_type", choices=["int", "fp"], default="int")
+    # calibration / eval control
+    p.add_argument("--calib_samples", type=int, default=16)
+    p.add_argument("--seqlen", type=int, default=0, help="0 = model default")
+    p.add_argument("--eval_ppl", action="store_true")
+    p.add_argument("--eval_datasets", nargs="*", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hf_path", type=str, default=None,
+                   help="local HF checkpoint dir (weights + tokenizer)")
+    p.add_argument("--save_dir", type=str, default=None,
+                   help="save packed quantized weights + reorder indices here")
+    p.add_argument("--layers", type=int, default=0,
+                   help="truncate to N layers (smoke runs)")
+    return p
+
+
+def make_spec(args):
+    from atom_tpu.config import KeeperPrecision, QuantSpec, QuantType
+
+    return QuantSpec(
+        wbits=args.wbits,
+        abits=args.abits,
+        w_sym=not args.w_asym,
+        a_sym=not args.a_asym,
+        weight_group_size=args.weight_group_size,
+        act_group_size=args.act_group_size,
+        weight_channel_group=args.weight_channel_group,
+        keeper=args.keeper,
+        keeper_precision=KeeperPrecision(args.keeper_precision),
+        w_clip_ratio=args.w_clip_ratio,
+        a_clip_ratio=args.a_clip_ratio,
+        kv_clip_ratio=args.kv_clip_ratio,
+        kv_cache=args.kv_cache,
+        quant_type=QuantType(args.quant_type),
+        reorder=args.reorder,
+        act_sort_metric=args.act_sort_metric,
+        use_gptq=args.use_gptq,
+        percdamp=args.percdamp,
+    )
+
+
+def load_data(args, cfg):
+    """(calib batches, {dataset: test stream}) with HF -> synthetic fallback."""
+    from atom_tpu.calib import data as D
+
+    seqlen = args.seqlen or min(cfg.max_position_embeddings, 2048)
+    eval_sets = args.eval_datasets or [args.dataset]
+    if args.dataset == "synthetic" or args.hf_path is None:
+        batches, test = D.synthetic_loaders(
+            cfg.vocab_size,
+            nsamples=args.calib_samples,
+            seqlen=seqlen,
+            seed=args.seed,
+        )
+        return batches, {name: test for name in eval_sets}, seqlen
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.hf_path)
+        batches, _ = D.get_loaders(
+            args.dataset, tok, nsamples=args.calib_samples,
+            seed=args.seed, seqlen=seqlen,
+        )
+        tests = {}
+        for name in eval_sets:
+            _, tests[name] = D.get_loaders(name, tok, nsamples=1, seqlen=seqlen)
+        return batches, tests, seqlen
+    except Exception as e:  # no cache / no egress
+        print(f"[warn] HF data unavailable ({e}); synthetic fallback", file=sys.stderr)
+        batches, test = D.synthetic_loaders(
+            cfg.vocab_size, nsamples=args.calib_samples, seqlen=seqlen, seed=args.seed
+        )
+        return batches, {name: test for name in eval_sets}, seqlen
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from atom_tpu import models
+    from atom_tpu.calib.pipeline import _model_api, calibrate
+    from atom_tpu.utils.eval import perplexity
+
+    cfg = getattr(models, MODEL_PRESETS[args.model])
+    if args.layers:
+        cfg = cfg.replace(num_layers=args.layers)
+    spec = make_spec(args)
+    m = _model_api(cfg)
+
+    print(f"model={args.model} cfg={cfg.arch.value} L={cfg.num_layers} "
+          f"d={cfg.hidden_size} spec: W{spec.wbits}A{spec.abits} "
+          f"g{spec.weight_group_size} keeper={spec.keeper} "
+          f"gptq={spec.use_gptq} reorder={spec.reorder}", flush=True)
+
+    t0 = time.time()
+    if args.hf_path:
+        params = m.load_hf_params(args.hf_path, cfg)  # gated; local checkpoints only
+    else:
+        params = m.init_params(jax.random.PRNGKey(args.seed), cfg, jnp.bfloat16)
+    print(f"params ready in {time.time() - t0:.1f}s", flush=True)
+
+    batches, tests, seqlen = load_data(args, cfg)
+
+    t0 = time.time()
+    params, indices = calibrate(params, cfg, spec, [jnp.asarray(b) for b in batches])
+    print(f"calibration in {time.time() - t0:.1f}s", flush=True)
+
+    if args.save_dir:
+        from atom_tpu.utils.checkpoint import save_quantized
+
+        save_quantized(args.save_dir, params, indices, cfg, spec)
+        print(f"saved quantized model to {args.save_dir}", flush=True)
+
+    if args.eval_ppl:
+        for name, stream in tests.items():
+            t0 = time.time()
+            ppl = perplexity(params, cfg, spec, np.asarray(stream), seqlen=seqlen)
+            print(f"eval {name} in {time.time() - t0:.1f}s", flush=True)
+            # the reference's grep-able metric line (model/main.py:278)
+            print(f"targetResult,{name},{ppl:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Baseline serving stacks: bf16 and W8A8, in the same engine harness.
+
+TPU equivalents of the reference's comparison stacks (SURVEY.md §2.3):
+``e2e/punica-fp16`` (vanilla fp16 Punica) and ``e2e/punica-int8``
+(SmoothQuant W8A8 via torch-int).  Both are deliberately built the way a
+performance-minded JAX engineer would build them WITHOUT Atom — dense
+ring-buffer KV cache [B, maxT, H, D] with dynamic-update-slice appends and
+plain XLA attention (the idiomatic fast single-chip baseline; paging is the
+W4A4 stack's choice, not forced on the baselines) — so the W4A4-vs-baseline
+ratio measures the quantization scheme, not a handicapped strawman.
+
+  * bf16:  bf16 weights, bf16 dense GEMMs (MXU), bf16 KV.
+  * W8A8:  per-output-channel INT8 weights, dynamic per-token INT8
+    activations, int8xint8->int32 MXU dots (XLA-native), bf16 KV — the
+    SmoothQuant recipe of ``punica-int8/punica/models/llama.py:51-82``.
+
+Step functions share the engine's calling convention; the page-table
+arguments are accepted and used only for their seq-len content.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from atom_tpu.models.configs import ModelConfig
+from atom_tpu.models.nn import apply_rope, causal_mask, repeat_kv, rmsnorm, rope_tables
+
+
+class DenseKV(NamedTuple):
+    """Per-layer dense KV cache [B, maxT, H, Dh]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+
+def make_dense_kv(
+    n_layers: int, batch: int, max_t: int, kv_heads: int, head_dim: int,
+    dtype=jnp.bfloat16,
+) -> List[DenseKV]:
+    return [
+        DenseKV(
+            jnp.zeros((batch, max_t, kv_heads, head_dim), dtype),
+            jnp.zeros((batch, max_t, kv_heads, head_dim), dtype),
+        )
+        for _ in range(n_layers)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# bf16 baseline
+# ---------------------------------------------------------------------------
+
+
+class Bf16Layer(NamedTuple):
+    ln_attn: jnp.ndarray
+    ln_mlp: jnp.ndarray
+    wq: jnp.ndarray
+    wk: jnp.ndarray
+    wv: jnp.ndarray
+    wo: jnp.ndarray
+    wgate: jnp.ndarray
+    wup: jnp.ndarray
+    wdown: jnp.ndarray
+
+
+class Bf16Params(NamedTuple):
+    embed: jnp.ndarray
+    final_norm: jnp.ndarray
+    lm_head: jnp.ndarray
+    layers: List[Bf16Layer]
+
+
+def init_bf16_params(key, cfg: ModelConfig) -> Bf16Params:
+    d = cfg.hidden_size
+    n_q = cfg.num_heads * cfg.head_dim
+    n_kv = cfg.num_kv_heads * cfg.head_dim
+    inter = cfg.intermediate_size
+    keys = jax.random.split(key, 2 + 7 * cfg.num_layers)
+
+    def w(k, i, o):
+        return (jax.random.normal(k, (i, o), jnp.bfloat16) * (i ** -0.5))
+
+    layers = [
+        Bf16Layer(
+            ln_attn=jnp.ones((d,), jnp.bfloat16),
+            ln_mlp=jnp.ones((d,), jnp.bfloat16),
+            wq=w(keys[2 + 7 * l + 0], d, n_q),
+            wk=w(keys[2 + 7 * l + 1], d, n_kv),
+            wv=w(keys[2 + 7 * l + 2], d, n_kv),
+            wo=w(keys[2 + 7 * l + 3], n_q, d),
+            wgate=w(keys[2 + 7 * l + 4], d, inter),
+            wup=w(keys[2 + 7 * l + 5], d, inter),
+            wdown=w(keys[2 + 7 * l + 6], inter, d),
+        )
+        for l in range(cfg.num_layers)
+    ]
+    return Bf16Params(
+        embed=jax.random.normal(keys[0], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
+        final_norm=jnp.ones((d,), jnp.bfloat16),
+        lm_head=jax.random.normal(keys[1], (d, cfg.vocab_size), jnp.bfloat16) * 0.02,
+        layers=layers,
+    )
+
+
+def _dense_decode_attention(q, kv: DenseKV, seq_lens, cfg, rope_theta):
+    """q [B, Hq, Dh]; dense causal attention over the ring buffer."""
+    b, hq, dh = q.shape
+    max_t = kv.k.shape[1]
+    positions = jnp.arange(max_t)
+    cos, sin = rope_tables(positions, dh, rope_theta)  # [T, Dh]
+    k = apply_rope(
+        kv.k.astype(jnp.float32), cos[None, :, None, :], sin[None, :, None, :]
+    )
+    k = repeat_kv(k.transpose(0, 2, 1, 3), cfg.kv_groups)  # [B, Hq, T, Dh]
+    v = repeat_kv(
+        kv.v.astype(jnp.float32).transpose(0, 2, 1, 3), cfg.kv_groups
+    )
+    scores = jnp.einsum("bhd,bhtd->bht", q.astype(jnp.float32), k) * (dh ** -0.5)
+    mask = positions[None, None, :] < seq_lens[:, None, None]
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bht,bhtd->bhd", probs, v).astype(jnp.bfloat16)
+
+
+def _decode_layer_common(x, lp, matmul, kv, seq_lens, cfg):
+    """One decoder layer of the baseline decode step; ``matmul(x, w)`` is the
+    precision-specific GEMM."""
+    b = x.shape[0]
+    dh = cfg.head_dim
+    pos = jnp.maximum(seq_lens - 1, 0)
+    cos, sin = rope_tables(pos, dh, cfg.rope_theta)
+
+    h = rmsnorm(x, lp.ln_attn, cfg.norm_eps)
+    q = matmul(h, lp.wq).reshape(b, cfg.num_heads, dh)
+    k_new = matmul(h, lp.wk).reshape(b, cfg.num_kv_heads, dh)
+    v_new = matmul(h, lp.wv).reshape(b, cfg.num_kv_heads, dh)
+    q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+    # append at seq_lens - 1 (K stored pre-RoPE, rotated in attention)
+    bidx = jnp.arange(b)
+    kv = DenseKV(
+        kv.k.at[bidx, pos].set(k_new.astype(kv.k.dtype)),
+        kv.v.at[bidx, pos].set(v_new.astype(kv.v.dtype)),
+    )
+    attn = _dense_decode_attention(q, kv, seq_lens, cfg, cfg.rope_theta)
+    x = x + matmul(attn.reshape(b, -1), lp.wo)
+    h = rmsnorm(x, lp.ln_mlp, cfg.norm_eps)
+    g = matmul(h, lp.wgate)
+    u = matmul(h, lp.wup)
+    act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    return x + matmul(act, lp.wdown), kv
+
+
+def _bf16_matmul(x, w):
+    return jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32).astype(
+        jnp.bfloat16
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kvs",))
+def bf16_decode_step(params: Bf16Params, kvs, ids, seq_lens, cfg: ModelConfig):
+    x = params.embed[ids].astype(jnp.bfloat16)
+    new_kvs = []
+    for lp, kv in zip(params.layers, kvs):
+        x, kv = _decode_layer_common(x, lp, _bf16_matmul, kv, seq_lens, cfg)
+        new_kvs.append(kv)
+    x = rmsnorm(x, params.final_norm, cfg.norm_eps)
+    logits = x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_kvs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kvs",))
+def bf16_decode_burst(params, kvs, ids, seq_lens, n_steps, cfg: ModelConfig):
+    def body(_, carry):
+        ids_, kvs_, lens_ = carry
+        new_lens = lens_ + 1
+        ids_, kvs_ = bf16_decode_step(params, kvs_, ids_, new_lens, cfg)
+        return ids_, kvs_, new_lens
+
+    return jax.lax.fori_loop(0, n_steps, body, (ids, kvs, seq_lens))
+
+
+# ---------------------------------------------------------------------------
+# W8A8 baseline (SmoothQuant recipe)
+# ---------------------------------------------------------------------------
+
+
+class W8Weight(NamedTuple):
+    codes: jnp.ndarray  # int8 [in, out]
+    scale: jnp.ndarray  # f32 [out] (per output channel)
+
+
+class W8Layer(NamedTuple):
+    ln_attn: jnp.ndarray
+    ln_mlp: jnp.ndarray
+    wq: W8Weight
+    wk: W8Weight
+    wv: W8Weight
+    wo: W8Weight
+    wgate: W8Weight
+    wup: W8Weight
+    wdown: W8Weight
+
+
+class W8Params(NamedTuple):
+    embed: jnp.ndarray
+    final_norm: jnp.ndarray
+    lm_head: jnp.ndarray
+    layers: List[W8Layer]
+
+
+def _quant_w8(w: jnp.ndarray) -> W8Weight:
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    return W8Weight(
+        codes=jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(jnp.int8),
+        scale=s,
+    )
+
+
+def init_w8_params(key, cfg: ModelConfig) -> W8Params:
+    bp = init_bf16_params(key, cfg)
+    layers = [
+        W8Layer(
+            ln_attn=lp.ln_attn,
+            ln_mlp=lp.ln_mlp,
+            wq=_quant_w8(lp.wq),
+            wk=_quant_w8(lp.wk),
+            wv=_quant_w8(lp.wv),
+            wo=_quant_w8(lp.wo),
+            wgate=_quant_w8(lp.wgate),
+            wup=_quant_w8(lp.wup),
+            wdown=_quant_w8(lp.wdown),
+        )
+        for lp in bp.layers
+    ]
+    return W8Params(bp.embed, bp.final_norm, bp.lm_head, layers)
+
+
+def _w8a8_matmul(x, w: W8Weight):
+    """Dynamic per-token INT8 activation quant + int8 MXU dot + dequant
+    (``punica-int8``'s linear_a8_w8_bfp32_ofp32 pattern, round+clamp in
+    Python at ``llama.py:82``)."""
+    x32 = x.astype(jnp.float32)
+    s_a = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / s_a), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w.codes, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * s_a * w.scale[None, :]).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kvs",))
+def w8a8_decode_step(params: W8Params, kvs, ids, seq_lens, cfg: ModelConfig):
+    x = params.embed[ids].astype(jnp.bfloat16)
+    new_kvs = []
+    for lp, kv in zip(params.layers, kvs):
+        x, kv = _decode_layer_common(x, lp, _w8a8_matmul, kv, seq_lens, cfg)
+        new_kvs.append(kv)
+    x = rmsnorm(x, params.final_norm, cfg.norm_eps)
+    logits = x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_kvs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kvs",))
+def w8a8_decode_burst(params, kvs, ids, seq_lens, n_steps, cfg: ModelConfig):
+    def body(_, carry):
+        ids_, kvs_, lens_ = carry
+        new_lens = lens_ + 1
+        ids_, kvs_ = w8a8_decode_step(params, kvs_, ids_, new_lens, cfg)
+        return ids_, kvs_, new_lens
+
+    return jax.lax.fori_loop(0, n_steps, body, (ids, kvs, seq_lens))

@@ -26,7 +26,7 @@ from atom_tpu.serving.workload import RequestSet
 @dataclasses.dataclass
 class TextGenConfig:
     batch_size: int = 32
-    page_size: int = 128
+    page_size: int = 256
     max_seq_len: int = 2048
     prefill_buckets: tuple = (128, 256, 512, 1024)
     # pool sizing: pages for batch_size full-length seqs + slack

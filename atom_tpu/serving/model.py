@@ -44,23 +44,26 @@ from atom_tpu.ops.formats import (
     quantize_weight_packed,
 )
 from atom_tpu.ops.kv_layout import KVPages, append_kv_decode_kernel, append_kv_prefill_kernel
-from atom_tpu.ops.pallas_decode import paged_decode_attention
-from atom_tpu.ops.pallas_gemm_packed import quant_gemm_o4_packed, quant_gemm_packed
+from atom_tpu.ops.pallas_decode import paged_decode_attention_rotated, quantize_q_int8
+from atom_tpu.ops.pallas_gemm_packed import quant_gemm_packed
 
 
 class ServingLayerParams(NamedTuple):
+    """q/k/v and gate/up are FUSED into single wide GEMMs: at decode batch
+    sizes the packed-4-bit GEMM is pipeline-limited at small N, and one
+    [D, 3D] / [D, 2*inter] launch runs at full HBM bandwidth where three
+    [D, D] launches do not (the CUDA reference keeps them separate because
+    its 128x128-tile kernel is already saturated per launch)."""
+
     ln_attn: jnp.ndarray       # bf16 [D]
     ln_mlp: jnp.ndarray        # bf16 [D]
     attn_reorder: jnp.ndarray  # int32 [D]  (q/k/v input order)
     o_reorder: jnp.ndarray     # int32 [D]  (attn-out order before o_proj)
     mlp_reorder: jnp.ndarray   # int32 [D]  (gate/up input order)
-    wq: KernelPackedWeight
-    wk: KernelPackedWeight
-    wv: KernelPackedWeight
-    wo: KernelPackedWeight
-    wgate: KernelPackedWeight
-    wup: KernelPackedWeight
-    wdown: KernelPackedWeight
+    wqkv: KernelPackedWeight   # [D, n_q + 2 * n_kv]
+    wo: KernelPackedWeight     # [n_q, D]
+    wgateup: KernelPackedWeight  # [D, 2 * inter]
+    wdown: KernelPackedWeight  # [inter, D]
 
 
 class ServingParams(NamedTuple):
@@ -75,12 +78,14 @@ def _rand_packed(key, in_f: int, out_f: int, spec: QuantSpec) -> KernelPackedWei
     return pack_for_kernel(quantize_weight_packed(w, spec))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "spec"))
 def init_serving_params(
     key, cfg: ModelConfig, spec: QuantSpec
 ) -> ServingParams:
     """Random-weight serving model (the reference benches random weights too,
     ``bench_textgen.py:78-86``; real checkpoints come via
-    ``pack_calibrated_params``)."""
+    ``pack_calibrated_params``).  One jitted program: a single dispatch on
+    high-latency links."""
     d = cfg.hidden_size
     n_q = cfg.num_heads * cfg.head_dim
     n_kv = cfg.num_kv_heads * cfg.head_dim
@@ -99,12 +104,9 @@ def init_serving_params(
                 attn_reorder=ident,
                 o_reorder=ident,
                 mlp_reorder=ident,
-                wq=_rand_packed(k[0], d, n_q, spec),
-                wk=_rand_packed(k[1], d, n_kv, spec),
-                wv=_rand_packed(k[2], d, n_kv, spec),
+                wqkv=_rand_packed(k[0], d, n_q + 2 * n_kv, spec),
                 wo=_rand_packed(k[3], n_q, d, spec),
-                wgate=_rand_packed(k[4], d, inter, spec),
-                wup=_rand_packed(k[5], d, inter, spec),
+                wgateup=_rand_packed(k[4], d, 2 * inter, spec),
                 wdown=_rand_packed(k[6], inter, d, spec),
             )
         )
@@ -121,12 +123,53 @@ def init_serving_params(
 # ---------------------------------------------------------------------------
 
 
-def _attn_block_common(x, lp: ServingLayerParams, spec: QuantSpec):
-    """norm+reorder+quant -> q/k/v projections (shared by prefill/decode)."""
+def _embed_lookup(embed: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding row fetch as a one-hot MXU matmul.
+
+    XLA lowers a plain [B]-row gather from a [V, D] table to a slow serial
+    path on TPU (~750us for B=32, V=32k measured); the one-hot contraction is
+    a single [B, V] x [V, D] bf16 pass (~40us) — the standard TPU idiom.
+    """
+    onehot = jax.nn.one_hot(ids, embed.shape[0], dtype=jnp.bfloat16)
+    return jnp.dot(onehot, embed)
+
+
+def _lm_head_logits(x: jnp.ndarray, lm_head: jnp.ndarray) -> jnp.ndarray:
+    """bf16 MXU head matmul (f32 accumulation inside the MXU).  Both prefill
+    and decode use this, so near-tie argmax decisions are identical."""
+    return jnp.dot(
+        x.astype(jnp.bfloat16), lm_head, preferred_element_type=jnp.float32
+    )
+
+
+def _attn_block_common(
+    x, lp: ServingLayerParams, cfg: ModelConfig, spec: QuantSpec, rope
+):
+    """norm+reorder+quant -> fused qkv projection (shared by prefill/decode).
+
+    One f32 GEMM output split into q (RoPE'd, bf16) and k/v.  K is rotated in
+    f32 BEFORE its asymmetric u4 quantization — the cache stores POST-RoPE
+    codes so the decode kernel never touches trigonometry (see
+    ``pallas_decode`` v2 block comment; the reference rotates after dequant
+    instead, decode.cuh:92-126, same bit budget).  ``rope``: (cos, sin)
+    broadcastable over heads for this token batch.
+    """
+    n_q = cfg.num_heads * cfg.head_dim
+    n_kv = cfg.num_kv_heads * cfg.head_dim
+    dh = cfg.head_dim
+    cos, sin = rope
     h_in = R.rmsnorm_reorder_quant(x, lp.ln_attn, lp.attn_reorder, spec)
-    q = quant_gemm_packed(h_in, lp.wq)  # bf16 [T, Hq*Dh]
-    kq = quant_gemm_o4_packed(h_in, lp.wk)  # KVQuant [T, Hkv, Dh]
-    vq = quant_gemm_o4_packed(h_in, lp.wv)
+    qkv = quant_gemm_packed(h_in, lp.wqkv, out_dtype=jnp.float32)
+    t = qkv.shape[0]
+    qh = qkv[:, :n_q].reshape(t, cfg.num_heads, dh)
+    q = apply_rope(qh, cos, sin).astype(jnp.bfloat16)  # [T, H, Dh]
+    k = apply_rope(
+        qkv[:, n_q : n_q + n_kv].reshape(t, cfg.num_kv_heads, dh), cos, sin
+    )
+    kq = R.quantize_kv_asym(k)
+    vq = R.quantize_kv_asym(
+        qkv[:, n_q + n_kv :].reshape(t, cfg.num_kv_heads, dh)
+    )
     return q, kq, vq
 
 
@@ -135,9 +178,9 @@ def _post_attn(x, attn_out, lp: ServingLayerParams, spec: QuantSpec):
     a_in = R.reorder_quant(attn_out, lp.o_reorder, spec)
     x = x + quant_gemm_packed(a_in, lp.wo)
     m_in = R.rmsnorm_reorder_quant(x, lp.ln_mlp, lp.mlp_reorder, spec)
-    g = quant_gemm_packed(m_in, lp.wgate)
-    u = quant_gemm_packed(m_in, lp.wup)
-    d_in = R.silu_mul_quant(g, u, spec)
+    gu = quant_gemm_packed(m_in, lp.wgateup, out_dtype=jnp.float32)
+    inter = gu.shape[1] // 2
+    d_in = R.silu_mul_quant(gu[:, :inter], gu[:, inter:], spec)
     return x + quant_gemm_packed(d_in, lp.wdown)
 
 
@@ -160,24 +203,24 @@ def decode_step(
     """One continuous-batching decode step.  Returns (next_ids [B], pages)."""
     b = ids.shape[0]
     dh = cfg.head_dim
-    x = params.embed[ids].astype(jnp.bfloat16)  # [B, D]
+    x = _embed_lookup(params.embed, ids)  # [B, D]
     pos = jnp.maximum(seq_lens - 1, 0)
     cos, sin = rope_tables(pos, dh, cfg.rope_theta)  # [B, Dh]
 
     new_pages = []
     for l, lp in enumerate(params.layers):
-        q, kq, vq = _attn_block_common(x, lp, spec)
-        qh = q.reshape(b, cfg.num_heads, dh)
-        q_rot = apply_rope(qh, cos[:, None, :], sin[:, None, :])
+        q, kq, vq = _attn_block_common(
+            x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
+        )
         pg = append_kv_decode_kernel(pages[l], kq, vq, dest_page, dest_slot)
         new_pages.append(pg)
-        attn = paged_decode_attention(
-            q_rot, pg, page_table, seq_lens, rope_theta=cfg.rope_theta
+        attn = paged_decode_attention_rotated(
+            q, pg, page_table, seq_lens
         ).reshape(b, cfg.num_heads * dh)
         x = _post_attn(x, attn, lp, spec)
 
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
-    logits = (x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32))
+    logits = _lm_head_logits(x, params.lm_head)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_pages
 
 
@@ -203,38 +246,85 @@ def prefill_step(
     t = ids.shape[0]
     dh = cfg.head_dim
     groups = cfg.kv_groups
-    x = params.embed[ids].astype(jnp.bfloat16)  # [T, D]
+    x = _embed_lookup(params.embed, ids)  # [T, D]
     positions = jnp.arange(t)
     cos, sin = rope_tables(positions, dh, cfg.rope_theta)  # [T, Dh]
     mask = causal_mask(t, t)[0]  # [1, T, T]
 
     new_pages = []
     for l, lp in enumerate(params.layers):
-        q, kq, vq = _attn_block_common(x, lp, spec)
+        q, kq, vq = _attn_block_common(
+            x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
+        )
         new_pages.append(append_kv_prefill_kernel(pages[l], kq, vq, table_row))
 
-        # fp32 attention math, bf16 only at the output — the same rounding
-        # points as the Pallas decode kernel, so decode continuations
-        # reproduce prefill numerics.
-        qh = q.reshape(t, cfg.num_heads, dh).swapaxes(0, 1)[None]  # [1, H, T, Dh]
-        k = R.dequantize_kv(kq.codes, kq.params).swapaxes(0, 1)[None]
-        v = R.dequantize_kv(vq.codes, vq.params).swapaxes(0, 1)[None]
-        q_rot = apply_rope(qh, cos, sin)  # bf16, as in the decode path
-        k_rot = repeat_kv(apply_rope(k, cos, sin), groups)
-        v = repeat_kv(v, groups)
-
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q_rot.astype(jnp.float32), k_rot
-        ) * (dh ** -0.5)
-        probs = jax.nn.softmax(scores + mask[None], axis=-1)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        attn = attn.astype(jnp.bfloat16)[0].swapaxes(0, 1).reshape(t, -1)
+        # Attention with the SAME numerics as the decode kernel — INT8 q x u4
+        # K-code integer scores with affine correction, f32 softmax, f32
+        # dequantized V, bf16 only at the output — so decode continuations
+        # reproduce prefill predictions exactly.
+        qq, q_scale, q_sum = quantize_q_int8(q)  # [T, H, Dh], [T, H], [T, H]
+        k_codes = jnp.repeat(kq.codes, groups, axis=1)  # [T, H, Dh]
+        k_prm = jnp.repeat(kq.params, groups, axis=1)  # [T, H, 2]
+        int_dot = jnp.einsum(
+            "qhd,khd->hqk", qq, k_codes, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        k_scale = k_prm[:, :, 0].T[:, None, :]  # [H, 1, T]
+        k_zero = k_prm[:, :, 1].T[:, None, :]
+        scores = (
+            int_dot * k_scale + q_sum.T[:, :, None] * k_zero
+        ) * (q_scale.T[:, :, None] * (dh ** -0.5))  # [H, Tq, Tk]
+        probs = jax.nn.softmax(scores + mask, axis=-1)
+        v = repeat_kv(
+            R.dequantize_kv(vq.codes, vq.params).swapaxes(0, 1)[None], groups
+        )[0]  # [H, T, Dh]
+        attn = jnp.einsum("hqk,hkd->hqd", probs, v)
+        attn = attn.astype(jnp.bfloat16).swapaxes(0, 1).reshape(t, -1)
         x = _post_attn(x, attn, lp, spec)
 
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
     last = x[jnp.maximum(true_len - 1, 0)]
-    logits = last.astype(jnp.float32) @ params.lm_head.astype(jnp.float32)
+    logits = _lm_head_logits(last[None], params.lm_head)[0]
     return jnp.argmax(logits).astype(jnp.int32), new_pages
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "spec"),
+    donate_argnames=("pages",),
+)
+def decode_burst(
+    params: ServingParams,
+    pages: List[KVPages],
+    ids: jnp.ndarray,         # int32 [B]
+    page_table: jnp.ndarray,  # int32 [B, max_pages] — must pre-cover the burst
+    seq_lens: jnp.ndarray,    # int32 [B] — current lengths (EXCLUDING ids)
+    n_steps: jnp.ndarray,     # int32 scalar (dynamic — one compile per shape set)
+    cfg: ModelConfig,
+    spec: QuantSpec,
+):
+    """Run ``n_steps`` chained decode steps inside ONE compiled program.
+
+    Destination pages/slots are derived in-graph from the page table, so the
+    host stays out of the loop entirely — this is how decode throughput is
+    measured on a dispatch-latency-bound link, and how a production engine
+    amortizes host work when no requests join or leave the batch.
+    """
+    s = pages[0].page_size
+
+    def body(_, carry):
+        ids_, pages_, lens_ = carry
+        dest_slot = lens_ % s
+        dest_page = jnp.take_along_axis(
+            page_table, (lens_ // s)[:, None], axis=1
+        )[:, 0]
+        new_lens = lens_ + 1
+        ids_, pages_ = decode_step(
+            params, pages_, ids_, page_table, new_lens, dest_page, dest_slot,
+            cfg, spec,
+        )
+        return ids_, pages_, new_lens
+
+    return jax.lax.fori_loop(0, n_steps, body, (ids, pages, seq_lens))
 
 
 def make_step_fns(params: ServingParams, cfg: ModelConfig, spec: QuantSpec):

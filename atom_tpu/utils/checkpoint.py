@@ -1,0 +1,103 @@
+"""Checkpointing: calibrated/quantized model state + calibration artifacts.
+
+The reference persists only reorder indices (``model/main.py:237-245``) and
+earmarks ``--save_dir`` for quantized weights (``main.py:182-185``).  Here the
+whole calibrated state round-trips: the params pytree (fake-quant weights, or
+packed serving weights via ``ops.formats.pack_weight_storage``), the reorder
+indices, and the (cfg, spec) metadata that produced them.
+
+Format: one ``.npz`` per save (pytree flattened by keypath) + a JSON sidecar.
+Dependency-light and portable; orbax remains an option for sharded multi-host
+checkpoints later.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _keypaths(tree):
+    return [
+        "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path
+        )
+        for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+    ]
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for key, leaf in zip(_keypaths(tree), jax.tree_util.tree_leaves(tree)):
+        arr = np.asarray(leaf)
+        # bf16 has no portable npz dtype; store the raw bits (restore casts
+        # back through the `like` leaf's dtype).
+        if arr.dtype == jax.numpy.bfloat16:
+            arr = arr.view(np.uint16)
+        flat[key] = arr
+    return flat
+
+
+def save_pytree(path: str, tree) -> None:
+    np.savez(path, **_flatten(tree))
+
+
+def restore_pytree(path: str, like):
+    """Restore into the structure of ``like`` (keypaths must match)."""
+    data = np.load(path)
+    keys = _keypaths(like)
+    assert set(keys) == set(data.files), (
+        f"checkpoint keys mismatch: {set(keys) ^ set(data.files)}"
+    )
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    new_leaves = []
+    for k, l in zip(keys, leaves_like):
+        arr = data[k]
+        if l.dtype == jax.numpy.bfloat16:
+            arr = arr.view("uint16").view(jax.numpy.bfloat16)
+        new_leaves.append(jax.numpy.asarray(arr).astype(l.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_quantized(save_dir: str, params, indices, cfg, spec) -> None:
+    os.makedirs(save_dir, exist_ok=True)
+    save_pytree(os.path.join(save_dir, "params.npz"), params)
+    if indices:
+        save_pytree(os.path.join(save_dir, "reorder_indices.npz"), indices)
+    meta = {
+        "cfg": dataclasses.asdict(cfg),
+        "spec": {
+            k: (v.value if hasattr(v, "value") else v)
+            for k, v in dataclasses.asdict(spec).items()
+        },
+    }
+    with open(os.path.join(save_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_meta(save_dir: str) -> Tuple[Any, Any]:
+    from atom_tpu.config import KeeperPrecision, QuantSpec, QuantType
+    from atom_tpu.models.configs import Arch, ModelConfig
+
+    with open(os.path.join(save_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cfg = ModelConfig(**{**meta["cfg"], "arch": Arch(meta["cfg"]["arch"])})
+    sd = meta["spec"]
+    sd["keeper_precision"] = KeeperPrecision(int(sd["keeper_precision"]))
+    sd["quant_type"] = QuantType(sd["quant_type"])
+    spec = QuantSpec(**sd)
+    return cfg, spec
+
+
+def load_quantized(save_dir: str, params_like, indices_like=None):
+    params = restore_pytree(os.path.join(save_dir, "params.npz"), params_like)
+    indices = None
+    idx_path = os.path.join(save_dir, "reorder_indices.npz")
+    if indices_like is not None and os.path.exists(idx_path):
+        indices = restore_pytree(idx_path, indices_like)
+    return params, indices

@@ -1,56 +1,114 @@
 """Benchmark entry point — prints ONE JSON line for the driver.
 
-Current metric (interim, will become the full continuous-batching serving
-benchmark as the Pallas serving path lands): fake-quant W4A4 Llama-7B-geometry
-prefill throughput on one chip, extrapolated from a 4-layer slice to the full
-32 layers.  Baseline: the reference's e2e serving throughput on RTX 4090
-(2052.8 tok/s, ``e2e/punica-atom/README.md:22-27``) — not directly comparable
-until the serving engine lands; recorded for trend tracking.
+Metric: real-kernel W4A4 serving DECODE throughput on Llama-2-7B geometry
+(full 32 layers, batch 32, context 512+), per chip.  This is the same quantity
+as the reference's headline decode rate (15.60 ms/token at batch 32 on an
+RTX 4090 => 2052.8 tok/s, ``e2e/punica-atom/README.md:22-27``), measured on
+our stack's real Pallas path: packed 4-bit dual-path GEMMs, fused o4 KV
+quantization, paged INT4 KV cache, fused-dequant decode attention.
+
+Protocol (tunnel-safe, dispatch-latency-free): ``decode_burst`` chains N decode
+steps inside ONE compiled program with a dynamic trip count; throughput is the
+slope between two trip counts, so compile time and the per-call round-trip
+cancel.  Everything runs ON the chip; only a scalar comes back.
 """
 import json
+import os
+import sys
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+BASELINE_DECODE_TOK_S = 2052.8  # reference e2e, RTX 4090, bs=32
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 
 def main():
     from atom_tpu.config import ATOM_W4A4
-    from atom_tpu.models import LLAMA_7B
-    from atom_tpu.models import llama
+    from atom_tpu.models.configs import Arch, ModelConfig
+    from atom_tpu.serving.kvpool import KvPool
+    from atom_tpu.serving.model import decode_burst, init_serving_params
 
-    n_bench_layers = 4
-    cfg = LLAMA_7B.replace(num_layers=n_bench_layers)
+    n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    ctx = 512
+    page = 256
+
+    cfg = ModelConfig(
+        arch=Arch.LLAMA,
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_layers=n_layers,
+        num_heads=32,
+        num_kv_heads=32,
+        head_dim=128,
+        max_position_embeddings=2048,
+    )
     spec = ATOM_W4A4
+    log(f"devices: {jax.devices()}  layers={n_layers} batch={batch}")
 
-    params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    batch, seqlen = 4, 512
-    ids = jnp.zeros((batch, seqlen), jnp.int32)
-
-    # NOTE: fetch a SCALAR per call — on the tunneled TPU platform,
-    # block_until_ready() on a remote buffer returns immediately and bulk
-    # device->host transfers are pathologically slow; a scalar reduction is the
-    # only reliable execution barrier.
-    fwd = jax.jit(lambda p, i: jnp.sum(llama.forward(p, i, cfg, spec)))
-    float(fwd(params, ids))  # compile + first run
-
-    n_iters = 5
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        val = float(fwd(params, ids))
-    dt = (time.perf_counter() - t0) / n_iters
+    params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    jax.block_until_ready(params.layers[-1].wdown.body_packed)
+    log(f"param init: {time.perf_counter() - t0:.1f}s")
 
-    # Extrapolate 4 -> 32 layers (layer-dominated runtime).
-    full_dt = dt * (LLAMA_7B.num_layers / n_bench_layers)
-    tok_s = batch * seqlen / full_dt
-    baseline = 2052.8
+    # Pre-allocated page tables covering ctx + the whole burst series.
+    max_pages = 4  # 1024 tokens
+    pool = KvPool(n_layers, batch * max_pages + 1, cfg.num_kv_heads, page, cfg.head_dim)
+    table = np.zeros((batch, max_pages), np.int32)
+    for b in range(batch):
+        table[b] = np.asarray(pool.alloc(max_pages), np.int32)
+    table = jnp.asarray(table)
+    lens = jnp.full((batch,), ctx, jnp.int32)
+    ids = jnp.ones((batch,), jnp.int32)
+    pages = pool.pages
+
+    def burst(pages_, ids_, lens_, n):
+        ids_, pages_, lens_ = decode_burst(
+            params, pages_, ids_, table, lens_, jnp.int32(n), cfg, spec
+        )
+        return ids_, pages_, lens_
+
+    n_lo, n_hi = 2, 34
+    t0 = time.perf_counter()
+    ids, pages, lens = burst(pages, ids, lens, n_lo)
+    _ = float(jnp.sum(ids))
+    log(f"compile + first burst: {time.perf_counter() - t0:.1f}s")
+
+    def timed(n):
+        nonlocal ids, pages, lens
+        t0 = time.perf_counter()
+        ids, pages, lens = burst(pages, ids, lens, n)
+        _ = float(jnp.sum(ids))
+        return time.perf_counter() - t0
+
+    samples = []
+    for _ in range(3):
+        t_lo = timed(n_lo)
+        t_hi = timed(n_hi)
+        samples.append((t_hi - t_lo) / (n_hi - n_lo))
+        log(f"  step time sample: {samples[-1]*1e3:.2f} ms")
+    per_step = min(samples)
+    tok_s = batch / per_step
+
+    # Scale to the full model if benching a slice (layer-dominated runtime).
+    scale = 32 / n_layers
+    tok_s_full = tok_s / scale if scale != 1 else tok_s
+
     print(
         json.dumps(
             {
-                "metric": "llama7b_w4a4_prefill_tokens_per_s_per_chip",
-                "value": round(tok_s, 1),
+                "metric": "llama7b_w4a4_decode_tokens_per_s_per_chip_bs32",
+                "value": round(tok_s_full, 1),
                 "unit": "tok/s",
-                "vs_baseline": round(tok_s / baseline, 3),
+                "vs_baseline": round(tok_s_full / BASELINE_DECODE_TOK_S, 3),
             }
         )
     )

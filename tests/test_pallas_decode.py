@@ -96,6 +96,129 @@ def test_decode_kernel_matches_oracle(batch, kv_heads, groups, seq_lens):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "batch,kv_heads,groups,seq_lens",
+    [
+        (2, 4, 1, [200, 77]),
+        (2, 2, 4, [130, 256]),
+    ],
+)
+def test_decode_q8_kernel_matches_int_oracle(batch, kv_heads, groups, seq_lens):
+    """v2 kernel (K post-RoPE, int8 q scores) vs an exact jnp re-statement."""
+    from atom_tpu.ops.kv_layout import kv_codes_from_kernel
+    from atom_tpu.ops.pallas_decode import (
+        paged_decode_attention_q8,
+        quantize_q_int8,
+    )
+
+    key = jax.random.PRNGKey(3)
+    max_pages = max(-(-t // PAGE) for t in seq_lens) + 1
+    n_pages = 1 + sum(-(-t // PAGE) for t in seq_lens)
+    _, kpages, table = _build_caches(
+        key, batch, kv_heads, seq_lens, max_pages, n_pages
+    )
+    hq = kv_heads * groups
+    q = jax.random.normal(
+        jax.random.PRNGKey(8), (batch, hq, HEAD_DIM), jnp.float32
+    )
+    lens = jnp.asarray(seq_lens, jnp.int32)
+
+    got = paged_decode_attention_q8(
+        q, kpages, table, lens, out_dtype=jnp.float32, interpret=True
+    )
+
+    # oracle: same integer-score math on the unpacked codes
+    k_codes, k_prm, v_codes, v_prm = kv_codes_from_kernel(kpages)
+    qq, q_scale, q_sum = quantize_q_int8(q)
+    sm = HEAD_DIM ** -0.5
+    max_t = max_pages * PAGE
+    want = []
+    def flat(x, width):  # [P, H, S, w] -> [P*S, H, w]
+        return x.transpose(0, 2, 1, 3).reshape(max_t, kv_heads, width)
+
+    for b in range(batch):
+        kc = flat(k_codes[table[b]], HEAD_DIM)
+        kp = flat(k_prm[table[b]], 2)
+        vc = flat(v_codes[table[b]], HEAD_DIM)
+        vp = flat(v_prm[table[b]], 2)
+        kc = jnp.repeat(kc, groups, axis=1)
+        kp = jnp.repeat(kp, groups, axis=1)
+        int_dot = jnp.einsum(
+            "hd,thd->ht", qq[b], kc, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        scores = (
+            int_dot * kp[:, :, 0].T + q_sum[b][:, None] * kp[:, :, 1].T
+        ) * (q_scale[b][:, None] * sm)
+        maskrow = jnp.arange(max_t)[None, :] < seq_lens[b]
+        scores = jnp.where(maskrow, scores, -1e30)
+        p = jax.nn.softmax(scores, axis=-1)
+        v = vc.astype(jnp.float32) * vp[:, :, 0:1] + vp[:, :, 1:2]
+        v = jnp.repeat(v, groups, axis=1)
+        want.append(jnp.einsum("ht,thd->hd", p, v))
+    want = jnp.stack(want)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize(
+    "batch,kv_heads,groups,seq_lens",
+    [
+        (2, 4, 1, [200, 77]),   # MHA whole-block fast path
+        (2, 2, 4, [130, 256]),  # GQA per-head path
+        (1, 8, 1, [5]),
+    ],
+)
+def test_decode_rotated_matches_oracle(batch, kv_heads, groups, seq_lens):
+    """Production kernels (K post-RoPE, affine code dots) vs jnp oracle."""
+    from atom_tpu.ops.kv_layout import kv_codes_from_kernel
+    from atom_tpu.ops.pallas_decode import paged_decode_attention_rotated
+
+    key = jax.random.PRNGKey(5)
+    max_pages = max(-(-t // PAGE) for t in seq_lens) + 1
+    n_pages = 1 + sum(-(-t // PAGE) for t in seq_lens)
+    _, kpages, table = _build_caches(
+        key, batch, kv_heads, seq_lens, max_pages, n_pages
+    )
+    hq = kv_heads * groups
+    q = jax.random.normal(
+        jax.random.PRNGKey(11), (batch, hq, HEAD_DIM), jnp.float32
+    )
+    lens = jnp.asarray(seq_lens, jnp.int32)
+
+    got = paged_decode_attention_rotated(
+        q, kpages, table, lens, out_dtype=jnp.float32, interpret=True
+    )
+
+    k_codes, k_prm, v_codes, v_prm = kv_codes_from_kernel(kpages)
+    sm = HEAD_DIM ** -0.5
+    max_t = max_pages * PAGE
+
+    def flat(x, width):
+        return x.transpose(0, 2, 1, 3).reshape(max_t, kv_heads, width)
+
+    want = []
+    for b in range(batch):
+        kc = jnp.repeat(flat(k_codes[table[b]], HEAD_DIM), groups, axis=1)
+        kp = jnp.repeat(flat(k_prm[table[b]], 2), groups, axis=1)
+        vc = jnp.repeat(flat(v_codes[table[b]], HEAD_DIM), groups, axis=1)
+        vp = jnp.repeat(flat(v_prm[table[b]], 2), groups, axis=1)
+        qb = q[b].astype(jnp.float32)
+        dot = jnp.einsum("hd,thd->ht", qb, kc.astype(jnp.float32))
+        scores = (
+            dot * kp[:, :, 0].T + jnp.sum(qb, axis=1)[:, None] * kp[:, :, 1].T
+        ) * sm
+        maskrow = jnp.arange(max_t)[None, :] < seq_lens[b]
+        scores = jnp.where(maskrow, scores, -1e30)
+        p = jax.nn.softmax(scores, axis=-1)
+        v = vc.astype(jnp.float32) * vp[:, :, 0:1] + vp[:, :, 1:2]
+        want.append(jnp.einsum("ht,thd->hd", p, v))
+    want = jnp.stack(want)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_kernel_layout_roundtrip_and_reference_conversion():
     key = jax.random.PRNGKey(1)
     kv_heads, t = 4, 170
