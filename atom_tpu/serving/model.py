@@ -173,15 +173,61 @@ def _attn_block_common(
     return q, kq, vq
 
 
-def _post_attn(x, attn_out, lp: ServingLayerParams, spec: QuantSpec):
-    """reorder+quant -> o_proj -> residual; then the MLP block."""
-    a_in = R.reorder_quant(attn_out, lp.o_reorder, spec)
-    x = x + quant_gemm_packed(a_in, lp.wo)
+def _post_attn(
+    x, attn_out, lp: ServingLayerParams, spec: QuantSpec, gather=None
+):
+    """reorder+quant -> o_proj -> residual; then the MLP block.
+
+    ``gather``: under tensor parallelism, the all-gather applied to every
+    column-sharded GEMM output / local attention heads (identity when None).
+    The quantize epilogues always see FULL feature dims, so group boundaries
+    and the keeper block are identical to the single-chip model — TP outputs
+    are bitwise-equal to single-chip outputs.
+    """
+    g = gather or (lambda v: v)
+    a_in = R.reorder_quant(g(attn_out), lp.o_reorder, spec)
+    x = x + g(quant_gemm_packed(a_in, lp.wo))
     m_in = R.rmsnorm_reorder_quant(x, lp.ln_mlp, lp.mlp_reorder, spec)
     gu = quant_gemm_packed(m_in, lp.wgateup, out_dtype=jnp.float32)
     inter = gu.shape[1] // 2
-    d_in = R.silu_mul_quant(gu[:, :inter], gu[:, inter:], spec)
-    return x + quant_gemm_packed(d_in, lp.wdown)
+    act = jax.nn.silu(gu[:, :inter]) * gu[:, inter:]  # f32, local slice
+    from atom_tpu.ops.formats import quantize_activation_packed
+
+    d_in = quantize_activation_packed(g(act), spec)
+    return x + g(quant_gemm_packed(d_in, lp.wdown))
+
+
+def decode_hidden(
+    params: ServingParams,
+    pages: List[KVPages],
+    ids, page_table, seq_lens, dest_page, dest_slot,
+    cfg: ModelConfig,
+    spec: QuantSpec,
+    gather=None,
+):
+    """Layer stack of one decode step -> (final-norm hidden [B, D], pages).
+
+    ``cfg`` describes the PER-SHARD head counts under TP; ``gather``
+    all-gathers column-sharded outputs (see ``_post_attn``)."""
+    b = ids.shape[0]
+    dh = cfg.head_dim
+    x = _embed_lookup(params.embed, ids)  # [B, D]
+    pos = jnp.maximum(seq_lens - 1, 0)
+    cos, sin = rope_tables(pos, dh, cfg.rope_theta)  # [B, Dh]
+
+    new_pages = []
+    for l, lp in enumerate(params.layers):
+        q, kq, vq = _attn_block_common(
+            x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
+        )
+        pg = append_kv_decode_kernel(pages[l], kq, vq, dest_page, dest_slot)
+        new_pages.append(pg)
+        attn = paged_decode_attention_rotated(
+            q, pg, page_table, seq_lens
+        ).reshape(b, cfg.num_heads * dh)
+        x = _post_attn(x, attn, lp, spec, gather)
+
+    return rmsnorm(x, params.final_norm, cfg.norm_eps), new_pages
 
 
 @functools.partial(
@@ -201,47 +247,27 @@ def decode_step(
     spec: QuantSpec,
 ):
     """One continuous-batching decode step.  Returns (next_ids [B], pages)."""
-    b = ids.shape[0]
-    dh = cfg.head_dim
-    x = _embed_lookup(params.embed, ids)  # [B, D]
-    pos = jnp.maximum(seq_lens - 1, 0)
-    cos, sin = rope_tables(pos, dh, cfg.rope_theta)  # [B, Dh]
-
-    new_pages = []
-    for l, lp in enumerate(params.layers):
-        q, kq, vq = _attn_block_common(
-            x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
-        )
-        pg = append_kv_decode_kernel(pages[l], kq, vq, dest_page, dest_slot)
-        new_pages.append(pg)
-        attn = paged_decode_attention_rotated(
-            q, pg, page_table, seq_lens
-        ).reshape(b, cfg.num_heads * dh)
-        x = _post_attn(x, attn, lp, spec)
-
-    x = rmsnorm(x, params.final_norm, cfg.norm_eps)
+    x, new_pages = decode_hidden(
+        params, pages, ids, page_table, seq_lens, dest_page, dest_slot,
+        cfg, spec,
+    )
     logits = _lm_head_logits(x, params.lm_head)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_pages
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "spec"),
-    donate_argnames=("pages",),
-)
-def prefill_step(
+def prefill_hidden(
     params: ServingParams,
     pages: List[KVPages],
-    ids: jnp.ndarray,        # int32 [T] — bucket-padded prompt
-    table_row: jnp.ndarray,  # int32 [max_pages] — this sequence's pages
-    true_len: jnp.ndarray,   # int32 scalar
+    ids, table_row,
     cfg: ModelConfig,
     spec: QuantSpec,
+    gather=None,
 ):
-    """Prefill one fresh sequence; returns (first generated token, pages).
+    """Layer stack of a prefill -> (final-norm hidden [T, D], pages).
 
-    Attention here runs over the DEQUANTIZED just-quantized K/V (numerics
-    consistent with what decode will read back), in bf16 with fp32 softmax.
+    Attention runs with the SAME numerics the decode kernel will reproduce:
+    f32 affine code dots over the just-quantized post-RoPE K, f32 softmax,
+    f32 dequantized V, bf16 at the output.
     """
     t = ids.shape[0]
     dh = cfg.head_dim
@@ -258,30 +284,48 @@ def prefill_step(
         )
         new_pages.append(append_kv_prefill_kernel(pages[l], kq, vq, table_row))
 
-        # Attention with the SAME numerics as the decode kernel — INT8 q x u4
-        # K-code integer scores with affine correction, f32 softmax, f32
-        # dequantized V, bf16 only at the output — so decode continuations
-        # reproduce prefill predictions exactly.
-        qq, q_scale, q_sum = quantize_q_int8(q)  # [T, H, Dh], [T, H], [T, H]
-        k_codes = jnp.repeat(kq.codes, groups, axis=1)  # [T, H, Dh]
+        # Attention with the SAME numerics as the decode kernel
+        # (``paged_decode_attention_rotated``): f32 q times raw u4 K codes
+        # with the affine correction, f32 softmax, f32 dequantized V, bf16
+        # only at the output — so decode continuations reproduce prefill
+        # predictions exactly.
+        qf = q.astype(jnp.float32)  # [T, H, Dh]
+        k_codes = jnp.repeat(kq.codes, groups, axis=1).astype(jnp.float32)
         k_prm = jnp.repeat(kq.params, groups, axis=1)  # [T, H, 2]
-        int_dot = jnp.einsum(
-            "qhd,khd->hqk", qq, k_codes, preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
+        dot = jnp.einsum("qhd,khd->hqk", qf, k_codes)
         k_scale = k_prm[:, :, 0].T[:, None, :]  # [H, 1, T]
         k_zero = k_prm[:, :, 1].T[:, None, :]
+        q_sum = jnp.sum(qf, axis=2)  # [T, H]
         scores = (
-            int_dot * k_scale + q_sum.T[:, :, None] * k_zero
-        ) * (q_scale.T[:, :, None] * (dh ** -0.5))  # [H, Tq, Tk]
+            dot * k_scale + q_sum.T[:, :, None] * k_zero
+        ) * (dh ** -0.5)  # [H, Tq, Tk]
         probs = jax.nn.softmax(scores + mask, axis=-1)
         v = repeat_kv(
             R.dequantize_kv(vq.codes, vq.params).swapaxes(0, 1)[None], groups
         )[0]  # [H, T, Dh]
         attn = jnp.einsum("hqk,hkd->hqd", probs, v)
         attn = attn.astype(jnp.bfloat16).swapaxes(0, 1).reshape(t, -1)
-        x = _post_attn(x, attn, lp, spec)
+        x = _post_attn(x, attn, lp, spec, gather)
 
-    x = rmsnorm(x, params.final_norm, cfg.norm_eps)
+    return rmsnorm(x, params.final_norm, cfg.norm_eps), new_pages
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "spec"),
+    donate_argnames=("pages",),
+)
+def prefill_step(
+    params: ServingParams,
+    pages: List[KVPages],
+    ids: jnp.ndarray,        # int32 [T] — bucket-padded prompt
+    table_row: jnp.ndarray,  # int32 [max_pages] — this sequence's pages
+    true_len: jnp.ndarray,   # int32 scalar
+    cfg: ModelConfig,
+    spec: QuantSpec,
+):
+    """Prefill one fresh sequence; returns (first generated token, pages)."""
+    x, new_pages = prefill_hidden(params, pages, ids, table_row, cfg, spec)
     last = x[jnp.maximum(true_len - 1, 0)]
     logits = _lm_head_logits(last[None], params.lm_head)[0]
     return jnp.argmax(logits).astype(jnp.int32), new_pages

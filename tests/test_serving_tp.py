@@ -1,0 +1,91 @@
+"""Tensor-parallel serving step == single-chip step, bitwise (CPU mesh).
+
+The TP scheme (column-parallel GEMMs, head-sharded KV, epilogues on gathered
+full activations) computes every output element on exactly one shard with the
+single-chip op order, so tokens AND the quantized KV pages must match exactly.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atom_tpu.config import QuantSpec
+from atom_tpu.models.configs import Arch, ModelConfig
+from atom_tpu.serving.kvpool import KvPool
+from atom_tpu.serving.model import (
+    decode_step,
+    init_serving_params,
+    prefill_step,
+)
+from atom_tpu.serving.parallel import (
+    make_kv_pages_sharded,
+    make_tp_step_fns,
+    shard_serving_params,
+)
+
+CFG = ModelConfig(
+    arch=Arch.LLAMA,
+    vocab_size=256,
+    hidden_size=1024,
+    intermediate_size=2048,
+    num_layers=2,
+    num_heads=8,
+    num_kv_heads=8,
+    head_dim=128,
+)
+SPEC = QuantSpec(weight_channel_group=1)
+PAGE = 128
+TP = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:TP])
+    return Mesh(devs, ("tp",))
+
+
+def test_tp_decode_and_prefill_match_single_chip(mesh):
+    params = init_serving_params(jax.random.PRNGKey(0), CFG, SPEC)
+    n_pages = 8
+    rng = np.random.Generator(np.random.PCG64(1))
+    prompt = rng.integers(1, CFG.vocab_size, 30).astype(np.int32)
+
+    # --- single chip ---
+    pool = KvPool(CFG.num_layers, n_pages, CFG.num_kv_heads, PAGE, CFG.head_dim)
+    pages = pool.pages
+    ids = np.zeros((32,), np.int32)
+    ids[: len(prompt)] = prompt
+    table_row = jnp.asarray([1, 2], jnp.int32)
+    tok_s, pages = prefill_step(
+        params, pages, jnp.asarray(ids), table_row, jnp.int32(len(prompt)),
+        CFG, SPEC,
+    )
+    b = 2
+    table = jnp.asarray([[1, 2], [0, 0]], jnp.int32)
+    lens = jnp.asarray([len(prompt) + 1, 1], jnp.int32)
+    dp = jnp.asarray([1, 0], jnp.int32)
+    ds = jnp.asarray([len(prompt) % PAGE, 0], jnp.int32)
+    ids_b = jnp.asarray([int(tok_s), 3], jnp.int32)
+    tok2_s, pages = decode_step(
+        params, pages, ids_b, table, lens, dp, ds, CFG, SPEC
+    )
+
+    # --- tensor parallel ---
+    sparams = shard_serving_params(params, CFG, mesh)
+    spages = make_kv_pages_sharded(
+        CFG.num_layers, n_pages, CFG.num_kv_heads, PAGE, CFG.head_dim, mesh
+    )
+    prefill_tp, decode_tp = make_tp_step_fns(sparams, CFG, SPEC, mesh)
+    tok_t, spages = prefill_tp(
+        spages, jnp.asarray(ids), table_row, jnp.int32(len(prompt))
+    )
+    assert int(tok_t) == int(tok_s)
+    tok2_t, spages = decode_tp(spages, ids_b, table, lens, dp, ds)
+    np.testing.assert_array_equal(np.asarray(tok2_t), np.asarray(tok2_s))
+
+    # KV pages identical (gathers the head-sharded arrays)
+    for l in range(CFG.num_layers):
+        for a, b_ in zip(pages[l], spages[l]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
