@@ -1,0 +1,174 @@
+"""End-to-end text-generation benchmark across serving stacks.
+
+The analog of the reference's ``bench_textgen.py`` / ``bench_textgen_all.py``
+(SURVEY.md §2.3): the same seeded synthetic ShareGPT-like workload through the
+same continuous-batching engine, for each stack:
+
+  * ``w4a4``  — Atom W4A4: packed 4-bit GEMMs + INT4 paged KV (this repo's
+    headline path);
+  * ``bf16``  — bf16 weights/KV (the punica-fp16 analog);
+  * ``w8a8``  — SmoothQuant-style INT8 (the punica-int8 analog).
+
+Two modes:
+  * ``--engine``: the full FCFS engine loop (includes host scheduling; on the
+    tunneled dev TPU this is dispatch-latency-bound — use on real hardware);
+  * default: steady-state decode burst throughput (dispatch-free, the decode
+    rate the reference reports as ms/token at batch 32).
+
+    python -m atom_tpu.benchmarks.bench_textgen --stacks w4a4 bf16 --layers 8
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from atom_tpu.config import ATOM_W4A4
+from atom_tpu.models.configs import Arch, ModelConfig
+
+
+def model_cfg(name: str, layers: int) -> ModelConfig:
+    geom = {
+        "7b": dict(hidden_size=4096, intermediate_size=11008, num_heads=32),
+        "13b": dict(hidden_size=5120, intermediate_size=13824, num_heads=40),
+    }[name]
+    return ModelConfig(
+        arch=Arch.LLAMA,
+        vocab_size=32000,
+        num_layers=layers,
+        num_kv_heads=geom["num_heads"],
+        head_dim=128,
+        max_position_embeddings=2048,
+        **geom,
+    )
+
+
+def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32):
+    from atom_tpu.serving.kvpool import KvPool
+    from atom_tpu.serving.model import decode_burst, init_serving_params
+
+    spec = ATOM_W4A4
+    params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    page, maxp = 256, -(-(ctx + n_steps * 3 + 64) // 256)
+    pool = KvPool(cfg.num_layers, batch * maxp + 1, cfg.num_kv_heads, page, cfg.head_dim)
+    table = np.zeros((batch, maxp), np.int32)
+    for b in range(batch):
+        table[b] = np.asarray(pool.alloc(maxp), np.int32)
+    table = jnp.asarray(table)
+    state = [pool.pages, jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
+
+    def run(n):
+        ids, pages, lens = decode_burst(
+            params, state[0], state[1], table, state[2], jnp.int32(n), cfg, spec
+        )
+        state[0], state[1], state[2] = pages, ids, lens
+        return float(jnp.sum(ids))
+
+    return _slope_tok_s(run, batch, n_steps)
+
+
+def _slope_tok_s(run, batch, n_hi):
+    run(2)  # compile + warm
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); run(2); t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(n_hi); t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - 2))
+    return batch / best, best
+
+
+def burst_throughput_baseline(cfg, batch, ctx, kind, n_steps=32):
+    from atom_tpu.serving.baselines import (
+        bf16_decode_burst,
+        init_bf16_params,
+        init_w8_params,
+        make_dense_kv,
+        w8a8_decode_burst,
+    )
+
+    max_t = ctx + n_steps * 3 + 64
+    kvs = make_dense_kv(cfg.num_layers, batch, max_t, cfg.num_kv_heads, cfg.head_dim)
+    if kind == "bf16":
+        params = init_bf16_params(jax.random.PRNGKey(0), cfg)
+        burst = bf16_decode_burst
+    else:
+        params = init_w8_params(jax.random.PRNGKey(0), cfg)
+        burst = w8a8_decode_burst
+    state = [kvs, jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
+
+    def run(n):
+        ids, kvs_, lens = burst(params, state[0], state[1], state[2], jnp.int32(n), cfg)
+        state[0], state[1], state[2] = kvs_, ids, lens
+        return float(jnp.sum(ids))
+
+    return _slope_tok_s(run, batch, n_steps)
+
+
+def engine_run(cfg, batch, n_requests):
+    from atom_tpu.serving import (
+        KvPool, TextGenConfig, TextGenEngine, synth_requests,
+    )
+    from atom_tpu.serving.model import init_serving_params, make_step_fns
+
+    spec = ATOM_W4A4
+    params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    tg = TextGenConfig(batch_size=batch, max_seq_len=1024,
+                       prefill_buckets=(128, 256, 512))
+    pool = KvPool(
+        cfg.num_layers,
+        batch * tg.max_seq_len // tg.page_size + 16,
+        cfg.num_kv_heads, tg.page_size, cfg.head_dim,
+    )
+    engine = TextGenEngine(tg, pool, *make_step_fns(params, cfg, spec))
+    rs = synth_requests(n_requests, cfg.vocab_size, maxlen=900)
+    return engine.run(rs, progress=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["7b", "13b"], default="7b")
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--ctx", type=int, default=512)
+    ap.add_argument("--stacks", nargs="*", default=["w4a4", "bf16", "w8a8"])
+    ap.add_argument("--engine", action="store_true")
+    ap.add_argument("--requests", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    cfg = model_cfg(args.model, args.layers)
+    print(f"devices: {jax.devices()}  model={args.model} L={args.layers} "
+          f"batch={args.batch} ctx={args.ctx}", flush=True)
+
+    if args.engine:
+        res = engine_run(cfg, args.batch, args.requests)
+        for k, v in res.items():
+            print(f"  {k}: {v}")
+        return
+
+    results = {}
+    for stack in args.stacks:
+        t0 = time.perf_counter()
+        if stack == "w4a4":
+            tok_s, per_step = burst_throughput_w4a4(cfg, args.batch, args.ctx)
+        else:
+            tok_s, per_step = burst_throughput_baseline(
+                cfg, args.batch, args.ctx, stack
+            )
+        results[stack] = tok_s
+        print(
+            f"{stack:6s} decode: {per_step*1e3:8.3f} ms/step  "
+            f"{tok_s:8.1f} tok/s  (setup+compile {time.perf_counter()-t0:.0f}s)",
+            flush=True,
+        )
+    if "w4a4" in results:
+        for base in ("bf16", "w8a8"):
+            if base in results:
+                print(f"w4a4 vs {base}: {results['w4a4']/results[base]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,7 @@ from atom_tpu.ops.formats import (
     quantize_weight_packed,
 )
 from atom_tpu.ops.kv_layout import KVPages, append_kv_decode_kernel, append_kv_prefill_kernel
-from atom_tpu.ops.pallas_decode import paged_decode_attention_rotated, quantize_q_int8
+from atom_tpu.ops.pallas_decode import paged_decode_attention_rotated
 from atom_tpu.ops.pallas_gemm_packed import quant_gemm_packed
 
 

@@ -213,7 +213,7 @@ def make_tp_step_fns(
         shard_map, mesh=mesh,
         in_specs=(w_spec, pages_spec, P(), P(), P(), P(), P()),
         out_specs=(P(), pages_spec),
-        check_rep=False,
+        check_vma=False,
     )
     def decode_tp(p, pages, ids, page_table, seq_lens, dest_page, dest_slot):
         local = unstack(p)
@@ -231,7 +231,7 @@ def make_tp_step_fns(
         shard_map, mesh=mesh,
         in_specs=(w_spec, pages_spec, P(), P(), P()),
         out_specs=(P(), pages_spec),
-        check_rep=False,
+        check_vma=False,
     )
     def prefill_tp(p, pages, ids, table_row, true_len):
         local = unstack(p)

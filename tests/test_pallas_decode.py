@@ -1,4 +1,4 @@
-"""Paged INT4 decode attention: Pallas kernel vs. the jnp oracle.
+"""Paged INT4 decode attention: Pallas kernel vs. jnp oracles.
 
 Mirrors the reference's decode test strategy (`test_batch_decode_int4.py`
 `ref_batch_decode` comparison, SURVEY.md §4) but asserts numerics on every
@@ -11,14 +11,16 @@ import pytest
 
 from atom_tpu.ops import reference as R
 from atom_tpu.ops.kv_layout import (
-    KVPages,
     append_kv_decode_kernel,
     append_kv_prefill_kernel,
     kv_codes_from_kernel,
     kv_pages_from_reference,
     make_kv_pages_kernel,
 )
-from atom_tpu.ops.pallas_decode import paged_decode_attention
+from atom_tpu.ops.pallas_decode import (
+    append_params_pallas,
+    paged_decode_attention_rotated,
+)
 
 PAGE = 128
 HEAD_DIM = 128
@@ -32,7 +34,6 @@ def _build_caches(key, batch, kv_heads, seq_lens, max_pages, n_pages):
     v_ref, v_prm_ref = R.make_kv_pages(n_pages, kv_heads, PAGE, HEAD_DIM)
     kpages = make_kv_pages_kernel(n_pages, kv_heads, PAGE, HEAD_DIM)
 
-    # Non-overlapping page tables; pad entries point at page 0.
     table = np.zeros((batch, max_pages), np.int32)
     next_page = 1
     for b in range(batch):
@@ -50,130 +51,25 @@ def _build_caches(key, batch, kv_heads, seq_lens, max_pages, n_pages):
         kq = R.quantize_kv_asym(k_vals)
         vq = R.quantize_kv_asym(v_vals)
         k_ref, k_prm_ref = R.append_kv_prefill(
-            k_ref, k_prm_ref, KVQ(kq), table[b], PAGE
+            k_ref, k_prm_ref, kq, table[b], PAGE
         )
         v_ref, v_prm_ref = R.append_kv_prefill(
-            v_ref, v_prm_ref, KVQ(vq), table[b], PAGE
+            v_ref, v_prm_ref, vq, table[b], PAGE
         )
         kpages = append_kv_prefill_kernel(kpages, kq, vq, table[b])
     return (k_ref, k_prm_ref, v_ref, v_prm_ref), kpages, table
 
 
-def KVQ(kv):  # adapt KVQuant for the reference append (expects .codes/.params)
-    return kv
-
-
 @pytest.mark.parametrize(
     "batch,kv_heads,groups,seq_lens",
     [
-        (2, 4, 1, [200, 77]),     # MHA, ragged lengths
-        (2, 2, 4, [130, 256]),    # GQA
-        (1, 8, 1, [5]),           # single short sequence
-    ],
-)
-def test_decode_kernel_matches_oracle(batch, kv_heads, groups, seq_lens):
-    key = jax.random.PRNGKey(0)
-    max_pages = max(-(-t // PAGE) for t in seq_lens) + 1
-    n_pages = 1 + sum(-(-t // PAGE) for t in seq_lens)
-    ref, kpages, table = _build_caches(
-        key, batch, kv_heads, seq_lens, max_pages, n_pages
-    )
-    k_ref, k_prm_ref, v_ref, v_prm_ref = ref
-
-    hq = kv_heads * groups
-    q = jax.random.normal(
-        jax.random.PRNGKey(7), (batch, hq, HEAD_DIM), jnp.float32
-    )
-    lens = jnp.asarray(seq_lens, jnp.int32)
-
-    want = R.batch_decode(
-        q, k_ref, k_prm_ref, v_ref, v_prm_ref, table, lens,
-        out_dtype=jnp.float32,
-    )
-    got = paged_decode_attention(
-        q, kpages, table, lens, head_block=min(2, kv_heads), interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
-
-
-@pytest.mark.parametrize(
-    "batch,kv_heads,groups,seq_lens",
-    [
-        (2, 4, 1, [200, 77]),
-        (2, 2, 4, [130, 256]),
-    ],
-)
-def test_decode_q8_kernel_matches_int_oracle(batch, kv_heads, groups, seq_lens):
-    """v2 kernel (K post-RoPE, int8 q scores) vs an exact jnp re-statement."""
-    from atom_tpu.ops.kv_layout import kv_codes_from_kernel
-    from atom_tpu.ops.pallas_decode import (
-        paged_decode_attention_q8,
-        quantize_q_int8,
-    )
-
-    key = jax.random.PRNGKey(3)
-    max_pages = max(-(-t // PAGE) for t in seq_lens) + 1
-    n_pages = 1 + sum(-(-t // PAGE) for t in seq_lens)
-    _, kpages, table = _build_caches(
-        key, batch, kv_heads, seq_lens, max_pages, n_pages
-    )
-    hq = kv_heads * groups
-    q = jax.random.normal(
-        jax.random.PRNGKey(8), (batch, hq, HEAD_DIM), jnp.float32
-    )
-    lens = jnp.asarray(seq_lens, jnp.int32)
-
-    got = paged_decode_attention_q8(
-        q, kpages, table, lens, out_dtype=jnp.float32, interpret=True
-    )
-
-    # oracle: same integer-score math on the unpacked codes
-    k_codes, k_prm, v_codes, v_prm = kv_codes_from_kernel(kpages)
-    qq, q_scale, q_sum = quantize_q_int8(q)
-    sm = HEAD_DIM ** -0.5
-    max_t = max_pages * PAGE
-    want = []
-    def flat(x, width):  # [P, H, S, w] -> [P*S, H, w]
-        return x.transpose(0, 2, 1, 3).reshape(max_t, kv_heads, width)
-
-    for b in range(batch):
-        kc = flat(k_codes[table[b]], HEAD_DIM)
-        kp = flat(k_prm[table[b]], 2)
-        vc = flat(v_codes[table[b]], HEAD_DIM)
-        vp = flat(v_prm[table[b]], 2)
-        kc = jnp.repeat(kc, groups, axis=1)
-        kp = jnp.repeat(kp, groups, axis=1)
-        int_dot = jnp.einsum(
-            "hd,thd->ht", qq[b], kc, preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
-        scores = (
-            int_dot * kp[:, :, 0].T + q_sum[b][:, None] * kp[:, :, 1].T
-        ) * (q_scale[b][:, None] * sm)
-        maskrow = jnp.arange(max_t)[None, :] < seq_lens[b]
-        scores = jnp.where(maskrow, scores, -1e30)
-        p = jax.nn.softmax(scores, axis=-1)
-        v = vc.astype(jnp.float32) * vp[:, :, 0:1] + vp[:, :, 1:2]
-        v = jnp.repeat(v, groups, axis=1)
-        want.append(jnp.einsum("ht,thd->hd", p, v))
-    want = jnp.stack(want)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
-    )
-
-
-@pytest.mark.parametrize(
-    "batch,kv_heads,groups,seq_lens",
-    [
-        (2, 4, 1, [200, 77]),   # MHA whole-block fast path
-        (2, 2, 4, [130, 256]),  # GQA per-head path
-        (1, 8, 1, [5]),
+        (2, 4, 1, [200, 77]),   # MHA, ragged lengths
+        (2, 2, 4, [130, 256]),  # GQA
+        (1, 8, 1, [5]),         # single short sequence
     ],
 )
 def test_decode_rotated_matches_oracle(batch, kv_heads, groups, seq_lens):
-    """Production kernels (K post-RoPE, affine code dots) vs jnp oracle."""
-    from atom_tpu.ops.kv_layout import kv_codes_from_kernel
-    from atom_tpu.ops.pallas_decode import paged_decode_attention_rotated
-
+    """Production kernel (K post-RoPE, affine code dots) vs jnp oracle."""
     key = jax.random.PRNGKey(5)
     max_pages = max(-(-t // PAGE) for t in seq_lens) + 1
     n_pages = 1 + sum(-(-t // PAGE) for t in seq_lens)
@@ -194,7 +90,7 @@ def test_decode_rotated_matches_oracle(batch, kv_heads, groups, seq_lens):
     sm = HEAD_DIM ** -0.5
     max_t = max_pages * PAGE
 
-    def flat(x, width):
+    def flat(x, width):  # [P, H, S, w] -> [P*S, H, w]
         return x.transpose(0, 2, 1, 3).reshape(max_t, kv_heads, width)
 
     want = []
@@ -240,7 +136,7 @@ def test_kernel_layout_roundtrip_and_reference_conversion():
     for a, b in zip(kpages, converted):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # decode-append one more token into slot t % PAGE of page table_row[t//PAGE]
+    # decode-append one more token at slot t % PAGE of page table_row[t//PAGE]
     key2 = jax.random.PRNGKey(2)
     newk = R.quantize_kv_asym(
         jax.random.normal(key2, (1, kv_heads, HEAD_DIM), jnp.float32)
@@ -263,8 +159,35 @@ def test_kernel_layout_roundtrip_and_reference_conversion():
     np.testing.assert_array_equal(
         np.asarray(v_codes[p, :, s, :]), np.asarray(newv.codes[0])
     )
-    # and the pre-existing neighbours in the same V byte row survived the RMW
+    # pre-existing neighbours in the same byte rows survived the RMW,
+    # and untouched pages' params survived the Pallas RMW append
+    old = kv_codes_from_kernel(kpages)
     np.testing.assert_array_equal(
-        np.asarray(v_codes[1, :, 7, :]),
-        np.asarray(kv_codes_from_kernel(kpages)[2][1, :, 7, :]),
+        np.asarray(v_codes[1, :, 7, :]), np.asarray(old[2][1, :, 7, :])
     )
+    np.testing.assert_array_equal(
+        np.asarray(k_params[1]), np.asarray(old[1][1])
+    )
+
+
+def test_params_append_pallas_touches_only_target():
+    kv_heads, s = 2, 128
+    kprm = jnp.arange(3 * kv_heads * 2 * s, dtype=jnp.float32).reshape(
+        3, kv_heads, 2, s
+    )
+    vprm = -kprm
+    new_k = jnp.full((2, kv_heads, 2), 7.5, jnp.float32)
+    new_v = jnp.full((2, kv_heads, 2), -2.5, jnp.float32)
+    page_idx = jnp.asarray([1, 2], jnp.int32)
+    slot = jnp.asarray([5, 100], jnp.int32)
+    k2, v2 = append_params_pallas(
+        kprm, vprm, new_k, new_v, page_idx, slot, interpret=True
+    )
+    want_k = np.array(kprm)
+    want_k[1, :, :, 5] = 7.5
+    want_k[2, :, :, 100] = 7.5
+    np.testing.assert_array_equal(np.asarray(k2), want_k)
+    want_v = np.array(vprm)
+    want_v[1, :, :, 5] = -2.5
+    want_v[2, :, :, 100] = -2.5
+    np.testing.assert_array_equal(np.asarray(v2), want_v)
