@@ -49,7 +49,11 @@ def model_cfg(name: str, layers: int) -> ModelConfig:
 
 def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32):
     from atom_tpu.serving.kvpool import KvPool
-    from atom_tpu.serving.model import decode_burst, init_serving_params
+    from atom_tpu.serving.model import (
+        decode_burst,
+        init_serving_params,
+        make_serving_state,
+    )
 
     spec = ATOM_W4A4
     params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
@@ -59,13 +63,17 @@ def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32):
     for b in range(batch):
         table[b] = np.asarray(pool.alloc(maxp), np.int32)
     table = jnp.asarray(table)
-    state = [pool.pages, jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
+    mstate = make_serving_state(
+        cfg.num_layers, batch * maxp + 1, batch, cfg.num_kv_heads, page,
+        cfg.head_dim,
+    )._replace(flushed=jnp.full((batch,), ctx, jnp.int32))
+    state = [mstate, jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
 
     def run(n):
-        ids, pages, lens = decode_burst(
+        ids, st, lens = decode_burst(
             params, state[0], state[1], table, state[2], jnp.int32(n), cfg, spec
         )
-        state[0], state[1], state[2] = pages, ids, lens
+        state[0], state[1], state[2] = st, ids, lens
         return float(jnp.sum(ids))
 
     return _slope_tok_s(run, batch, n_steps)
@@ -123,7 +131,14 @@ def engine_run(cfg, batch, n_requests):
         batch * tg.max_seq_len // tg.page_size + 16,
         cfg.num_kv_heads, tg.page_size, cfg.head_dim,
     )
-    engine = TextGenEngine(tg, pool, *make_step_fns(params, cfg, spec))
+    from atom_tpu.serving.model import make_serving_state
+
+    n_pool = batch * tg.max_seq_len // tg.page_size + 16
+    state = make_serving_state(
+        cfg.num_layers, n_pool, batch, cfg.num_kv_heads, tg.page_size,
+        cfg.head_dim,
+    )
+    engine = TextGenEngine(tg, pool, *make_step_fns(params, cfg, spec), state)
     rs = synth_requests(n_requests, cfg.vocab_size, maxlen=900)
     return engine.run(rs, progress=True)
 

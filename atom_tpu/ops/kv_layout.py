@@ -1,31 +1,28 @@
 """Kernel-native paged INT4 KV cache layout (TPU tile-aligned nibble planes).
 
 The reference's ``paged_kv_t`` stores u4 codes packed along head_dim with a
-CSR page table (``page.cuh:15-37``); its decode kernel unpacks 8-per-u32 during
-``cast_load`` (``quantization.cuh:66-80``).  The TPU layout here is chosen by
-measurement, for three properties at once:
+CSR page table (``page.cuh:15-37``); its decode kernel unpacks 8-per-u32
+during ``cast_load`` (``quantization.cuh:66-80``).  The TPU layout here is
+chosen by measurement:
 
-  * ``k_pages`` / ``v_pages``  int8 [P, H, S/2, D]  — both SLOT-major
-    slot-plane nibbles: byte (r, d) holds slot ``r`` (low nibble) and slot
-    ``r + S/2`` (high nibble) of channel ``d``.  Unpacking is two shifts +
-    a sublane concat into TRUE slot order, and the decode kernel consumes
-    both as ``[S, D]`` directly (q @ K^T runs as an MXU dot with a transposed
-    RHS — native on TPU).
-  * decode-time appends touch sublane row ``slot % (S/2)`` — a SUBLANE-indexed
-    dynamic-update-slice, which XLA:TPU executes in place in the default
-    layout.  (K was originally channel-major with the slot as a LANE index;
-    XLA's layout assignment then flipped the arrays to a rotated layout for
-    the update and inserted three full-pool transposing copies per decode
-    step — the dominant cost of the whole serving stack until measured.)
+  * ``k_pages``  int8 [P, H, D/2, S]  — CHANNEL-major channel-plane nibbles:
+    byte (c, s) holds channels ``c`` (low) and ``c + D/2`` (high) of slot
+    ``s``.  Unpacking is two shifts + a sublane concat into the true
+    ``K^T [D, S]`` the score dot consumes at standard MXU orientation.
+  * ``v_pages``  int8 [P, H, S/2, D]  — SLOT-major slot-plane nibbles: byte
+    (r, d) holds slots ``r`` and ``r + S/2`` of channel ``d``; unpacks into
+    the true ``V [S, D]`` the probs.V dot consumes.
   * ``k_params`` / ``v_params``  f32 [P, H, 2, S] — row 0 = scale, row 1 =
     zero_val (dequant ``x = code * scale + zero_val``), lane-indexed by slot
-    so the kernel's affine score correction broadcasts over sublanes with no
-    transpose.  Their per-token append IS lane-indexed, so it runs as a tiny
-    Pallas RMW kernel over the touched page blocks only
-    (``pallas_decode.append_params_pallas``), not an XLA scatter.
+    so the kernel's affine corrections broadcast over sublanes.
 
-With ``page_size = 256`` and ``head_dim = 128`` every plane is exactly tile-
-aligned — DMAs carry zero padding.
+Pages receive NO per-token writes: decode tokens accumulate in the dense hot
+ring (``kv_hot``) and land here in W-aligned bulk blocks
+(``pallas_decode.flush_hot_pallas``) or whole pages (prefill).  Every
+per-token arrangement measured on v5e loses: XLA vector-indexed scatter
+copies the whole pool per step; per-token DUS costs ~25us/token of loop
+overhead; lane-indexed DUS additionally flips the arrays into a rotated
+layout with three full-pool transposing copies per step.
 
 Batch addressing is a PADDED page table ``[B, max_pages]`` + ``seq_lens [B]``
 (static shapes under jit) instead of CSR ``indptr/indices``.
@@ -44,9 +41,9 @@ from atom_tpu.quant.packing import unpack_uint4
 class KVPages(NamedTuple):
     """One layer's paged quantized KV cache in the kernel layout."""
 
-    k_pages: jnp.ndarray   # int8 [P, H, S//2, D]
+    k_pages: jnp.ndarray   # int8 [P, H, D//2, S]  (channel-plane)
     k_params: jnp.ndarray  # f32  [P, H, 2, S]
-    v_pages: jnp.ndarray   # int8 [P, H, S//2, D]
+    v_pages: jnp.ndarray   # int8 [P, H, S//2, D]  (slot-plane)
     v_params: jnp.ndarray  # f32  [P, H, 2, S]
 
     @property
@@ -59,11 +56,11 @@ class KVPages(NamedTuple):
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2] * 2
+        return self.k_pages.shape[3]
 
     @property
     def head_dim(self) -> int:
-        return self.k_pages.shape[3]
+        return self.k_pages.shape[2] * 2
 
 
 def make_kv_pages_kernel(
@@ -71,14 +68,22 @@ def make_kv_pages_kernel(
 ) -> KVPages:
     assert page_size % 2 == 0 and head_dim % 2 == 0
     return KVPages(
-        k_pages=jnp.zeros((n_pages, kv_heads, page_size // 2, head_dim), jnp.int8),
+        k_pages=jnp.zeros((n_pages, kv_heads, head_dim // 2, page_size), jnp.int8),
         k_params=jnp.zeros((n_pages, kv_heads, 2, page_size), jnp.float32),
         v_pages=jnp.zeros((n_pages, kv_heads, page_size // 2, head_dim), jnp.int8),
         v_params=jnp.zeros((n_pages, kv_heads, 2, page_size), jnp.float32),
     )
 
 
-def _pack_slot_planes(codes: jnp.ndarray) -> jnp.ndarray:
+def pack_channel_planes(codes: jnp.ndarray) -> jnp.ndarray:
+    """u4 codes [..., D, S] -> channel-plane bytes [..., D/2, S]."""
+    d = codes.shape[-2]
+    lo = codes[..., : d // 2, :].astype(jnp.uint8) & 0x0F
+    hi = codes[..., d // 2 :, :].astype(jnp.uint8) & 0x0F
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def pack_slot_planes(codes: jnp.ndarray) -> jnp.ndarray:
     """u4 codes [..., S, D] -> slot-plane bytes [..., S/2, D]."""
     s = codes.shape[-2]
     lo = codes[..., : s // 2, :].astype(jnp.uint8) & 0x0F
@@ -87,50 +92,11 @@ def _pack_slot_planes(codes: jnp.ndarray) -> jnp.ndarray:
 
 
 def _unpack_planes(pb: jnp.ndarray) -> jnp.ndarray:
-    """plane bytes [..., S/2, D] -> u4 codes [..., S, D] (int8 in [0, 15])."""
+    """plane bytes [..., X/2, Y] -> u4 codes [..., X, Y] (int8 in [0, 15])."""
     b = pb.astype(jnp.uint8)
     lo = (b & 0x0F).astype(jnp.int8)
     hi = (b >> 4).astype(jnp.int8)
     return jnp.concatenate([lo, hi], axis=-2)
-
-
-def _rmw_token_row(pages: jnp.ndarray, codes_b: jnp.ndarray, p, s, half_s, h, d):
-    """Nibble-merge one token into sublane row ``s % half_s`` of page ``p``."""
-    r = s % half_s
-    old = jax.lax.dynamic_slice(pages, (p, 0, r, 0), (1, h, 1, d)).astype(
-        jnp.int32
-    ) & 0xFF
-    new = jnp.where(
-        s < half_s, (old & 0xF0) | codes_b, (old & 0x0F) | (codes_b << 4)
-    ).astype(jnp.int8)
-    return jax.lax.dynamic_update_slice(pages, new, (p, 0, r, 0))
-
-
-def append_kv_decode_kernel(
-    pages: KVPages,
-    k: KVQuant,  # codes [B, H, D] u4-in-int8, params [B, H, 2]
-    v: KVQuant,
-    page_idx: jnp.ndarray,  # int32 [B]
-    slot: jnp.ndarray,      # int32 [B]
-) -> KVPages:
-    """Write one new token per sequence (``AppendPagedKVCacheDecodeKernel``,
-    page.cuh:119-130 equivalent).
-
-    Codes: a ``fori_loop`` of SCALAR-indexed sublane dynamic-update-slices
-    (in-place on donated buffers).  Params: the Pallas lane-RMW kernel.
-    Neither path lets XLA fall back to a full-pool scatter copy.
-    """
-    from atom_tpu.ops.pallas_decode import append_kv_decode_pallas
-
-    return append_kv_decode_pallas(
-        pages,
-        (k.codes.astype(jnp.uint8) & 0x0F).astype(jnp.int8),
-        k.params,
-        (v.codes.astype(jnp.uint8) & 0x0F).astype(jnp.int8),
-        v.params,
-        page_idx,
-        slot,
-    )
 
 
 def append_kv_prefill_kernel(
@@ -159,8 +125,8 @@ def append_kv_prefill_kernel(
     kp = pad_seq(k.params).reshape(n_full, s_size, h, 2)
     vp = pad_seq(v.params).reshape(n_full, s_size, h, 2)
 
-    k_bytes = _pack_slot_planes(kc.transpose(0, 2, 1, 3))  # [P, H, S/2, D]
-    v_bytes = _pack_slot_planes(vc.transpose(0, 2, 1, 3))
+    k_bytes = pack_channel_planes(kc.transpose(0, 2, 3, 1))  # [P, H, D/2, S]
+    v_bytes = pack_slot_planes(vc.transpose(0, 2, 1, 3))     # [P, H, S/2, D]
     kprm = kp.transpose(0, 2, 3, 1)  # [P, H, 2, S]
     vprm = vp.transpose(0, 2, 3, 1)
 
@@ -190,18 +156,20 @@ def kv_pages_from_reference(
     k_codes = unpack_uint4(k_pages_ref)  # [P, H, S, D]
     v_codes = unpack_uint4(v_pages_ref)
     return KVPages(
-        k_pages=_pack_slot_planes(k_codes),
+        k_pages=pack_channel_planes(jnp.swapaxes(k_codes, -1, -2)),
         k_params=jnp.swapaxes(k_params_ref, -1, -2),
-        v_pages=_pack_slot_planes(v_codes),
+        v_pages=pack_slot_planes(v_codes),
         v_params=jnp.swapaxes(v_params_ref, -1, -2),
     )
 
 
 def kv_codes_from_kernel(pages: KVPages) -> Tuple[jnp.ndarray, ...]:
     """Kernel layout -> (k_codes [P,H,S,D], k_params [P,H,S,2], v_codes, v_params)."""
+    k_codes = jnp.swapaxes(_unpack_planes(pages.k_pages), -1, -2)
+    v_codes = _unpack_planes(pages.v_pages)
     return (
-        _unpack_planes(pages.k_pages),
+        k_codes,
         jnp.swapaxes(pages.k_params, -1, -2),
-        _unpack_planes(pages.v_pages),
+        v_codes,
         jnp.swapaxes(pages.v_params, -1, -2),
     )

@@ -64,9 +64,11 @@ class TextGenEngine:
     batching.  The step functions are model-agnostic (quantized Llama, bf16
     baseline, ... supply their own):
 
-      prefill_fn(pages, ids[T], table_row, true_len) -> (token, pages)
-      decode_fn(pages, ids[B], page_table, seq_lens, dest_page, dest_slot)
-          -> (next_ids[B], pages)
+      prefill_fn(state, ids[T], table_row, true_len, slot) -> (token, state)
+      decode_fn(state, ids[B], page_table, seq_lens) -> (next_ids[B], state)
+
+    ``state`` is an opaque device pytree owned by the model (for the W4A4
+    stack: KV pages + hot ring + flush counters; for baselines: dense KV).
     """
 
     def __init__(
@@ -75,11 +77,13 @@ class TextGenEngine:
         pool: KvPool,
         prefill_fn: Callable,
         decode_fn: Callable,
+        state,
     ):
         self.cfg = cfg
         self.pool = pool
         self.prefill_fn = prefill_fn
         self.decode_fn = decode_fn
+        self.state = state
         self.max_pages = -(-cfg.max_seq_len // cfg.page_size)
 
     def _bucket(self, t: int) -> int:
@@ -91,7 +95,7 @@ class TextGenEngine:
     def run(self, rs: RequestSet, progress: bool = False) -> dict:
         cfg = self.cfg
         bsz = cfg.batch_size
-        pages = self.pool.pages  # device pytree, threaded through the steps
+        state = self.state  # device pytree, threaded through the steps
         stats: List[RequestStat] = [
             RequestStat(int(p), int(o))
             for p, o in zip(rs.prompt_lens, rs.output_lens)
@@ -124,11 +128,12 @@ class TextGenEngine:
                 ids[:t_true] = prompt
                 table_row = np.zeros((self.max_pages,), np.int32)
                 table_row[: len(kv.page_ids)] = kv.page_ids
-                tok, pages = self.prefill_fn(
-                    pages,
+                tok, state = self.prefill_fn(
+                    state,
                     jnp.asarray(ids),
                     jnp.asarray(table_row),
                     jnp.int32(t_true),
+                    jnp.int32(slot),
                 )
                 ids_dev = ids_dev.at[slot].set(tok)
                 stats[r].first_token_t = time.perf_counter()
@@ -145,25 +150,19 @@ class TextGenEngine:
                 continue
 
             # --- one decode step over the whole workset ---
-            dest_page = np.zeros((bsz,), np.int32)
-            dest_slot = np.zeros((bsz,), np.int32)
             for slot in range(bsz):
                 s = workset[slot]
                 if s is None:
                     continue
-                pg, sl, _ = s.kv.append_slot()
-                dest_page[slot] = pg
-                dest_slot[slot] = sl
+                s.kv.acquire_one()  # extend length; allocate page on boundary
             table, lens = batch_page_table(
                 [s.kv if s else None for s in workset], self.max_pages
             )
-            ids_dev, pages = self.decode_fn(
-                pages,
+            ids_dev, state = self.decode_fn(
+                state,
                 ids_dev,
                 jnp.asarray(table),
                 jnp.asarray(lens),
-                jnp.asarray(dest_page),
-                jnp.asarray(dest_slot),
             )
             n_decode_steps += 1
 
@@ -184,7 +183,7 @@ class TextGenEngine:
         # Execution barrier: everything above is async; fetch one scalar.
         _ = int(jnp.sum(ids_dev))
         elapsed = time.perf_counter() - t_start
-        self.pool.pages = pages
+        self.state = state
 
         out_tokens = rs.total_output_tokens
         ttfts = np.array([s.ttft for s in stats])

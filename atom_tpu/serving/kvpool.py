@@ -11,16 +11,17 @@ with two TPU-driven changes:
   * batch addressing is a PADDED page table [B, max_pages] + seq_lens [B]
     (static shapes under jit) instead of CSR indptr/indices.
 
-Page 0 is reserved as the garbage sink: bucket-padding appends and padded page
+Page 0 is reserved as the garbage sink: bucket-padding writes and padded page
 -table entries target it, and the decode kernel masks it out via seq_lens.
+
+The pool is PURELY host-side bookkeeping — the device page arrays live in the
+model's opaque serving state (``serving.model.make_serving_state``).
 """
 from __future__ import annotations
 
 from typing import List, Optional
 
 import numpy as np
-
-from atom_tpu.ops.kv_layout import KVPages, make_kv_pages_kernel
 
 
 class KvPool:
@@ -45,10 +46,6 @@ class KvPool:
         self.page_size = page_size
         self.head_dim = head_dim
         self._free = list(range(n_pages - 1, 0, -1))  # stack; 0 reserved
-        self.pages: List[KVPages] = [
-            make_kv_pages_kernel(n_pages, kv_heads, page_size, head_dim)
-            for _ in range(n_layers)
-        ]
 
     @property
     def num_free_pages(self) -> int:

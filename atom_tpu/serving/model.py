@@ -43,8 +43,20 @@ from atom_tpu.ops.formats import (
     pack_for_kernel,
     quantize_weight_packed,
 )
-from atom_tpu.ops.kv_layout import KVPages, append_kv_decode_kernel, append_kv_prefill_kernel
-from atom_tpu.ops.pallas_decode import paged_decode_attention_rotated
+from atom_tpu.ops.kv_hot import (
+    HotKV,
+    hot_attention,
+    make_hot,
+    merge_attention,
+    write_hot,
+)
+from atom_tpu.ops.kv_layout import (
+    KVPages,
+    append_kv_prefill_kernel,
+    make_kv_pages_kernel,
+    pack_channel_planes,
+)
+from atom_tpu.ops.pallas_decode import flush_hot_pallas, paged_decode_attention_rotated
 from atom_tpu.ops.pallas_gemm_packed import quant_gemm_packed
 
 
@@ -197,62 +209,139 @@ def _post_attn(
     return x + g(quant_gemm_packed(d_in, lp.wdown))
 
 
+class ServingState(NamedTuple):
+    """Device-side decode state threaded through the step functions.
+
+    ``row`` is the global hot-ring write row; ``flushed`` is each slot's
+    page-resident token count (== its sequence length at last flush /
+    prefill).  Both are shared by all layers.
+    """
+
+    pages: List[KVPages]
+    hot: List[HotKV]
+    row: jnp.ndarray      # int32 scalar in [0, W)
+    flushed: jnp.ndarray  # int32 [B]
+
+
+def make_serving_state(
+    n_layers: int, n_pages: int, batch: int, kv_heads: int,
+    page_size: int, head_dim: int,
+) -> ServingState:
+    return ServingState(
+        pages=[
+            make_kv_pages_kernel(n_pages, kv_heads, page_size, head_dim)
+            for _ in range(n_layers)
+        ],
+        hot=[make_hot(batch, kv_heads, head_dim) for _ in range(n_layers)],
+        row=jnp.int32(0),
+        flushed=jnp.zeros((batch,), jnp.int32),
+    )
+
+
 def decode_hidden(
     params: ServingParams,
-    pages: List[KVPages],
-    ids, page_table, seq_lens, dest_page, dest_slot,
+    state: ServingState,
+    ids, page_table, seq_lens,
     cfg: ModelConfig,
     spec: QuantSpec,
     gather=None,
 ):
-    """Layer stack of one decode step -> (final-norm hidden [B, D], pages).
+    """Layer stack of one decode step -> (final-norm hidden [B, D], state).
 
+    Per layer: fused qkv projection -> hot-ring write -> (conditional bulk
+    flush into pages) -> paged-kernel + hot-ring attention merge -> o/MLP.
     ``cfg`` describes the PER-SHARD head counts under TP; ``gather``
-    all-gathers column-sharded outputs (see ``_post_attn``)."""
+    all-gathers column-sharded outputs (see ``_post_attn``).
+    """
     b = ids.shape[0]
     dh = cfg.head_dim
     x = _embed_lookup(params.embed, ids)  # [B, D]
     pos = jnp.maximum(seq_lens - 1, 0)
     cos, sin = rope_tables(pos, dh, cfg.rope_theta)  # [B, Dh]
+    sm_scale = dh ** -0.5
 
-    new_pages = []
+    w = state.hot[0].window
+    s_page = state.pages[0].page_size
+    row = state.row
+    # Flush decision (identical for every layer): when a sequence's length
+    # hits a W boundary, its last W positions move from the ring to its page.
+    flags = ((seq_lens % w) == 0) & (seq_lens > 0)
+    blk_start = jnp.maximum(seq_lens - w, 0)
+    lane0 = blk_start % s_page
+    fpage = jnp.where(
+        flags,
+        jnp.take_along_axis(
+            page_table, (blk_start // s_page)[:, None], axis=1
+        )[:, 0],
+        0,
+    )
+    # First flush after prefill: mask the block prefix that prefill already
+    # wrote to the page.
+    from_off = jnp.clip(state.flushed - blk_start, 0, w)
+    flushed_new = jnp.where(flags, seq_lens, state.flushed)
+    n_hot = seq_lens - flushed_new  # ring-resident suffix per sequence
+    flags_i = flags.astype(jnp.int32)
+
+    new_pages, new_hot = [], []
     for l, lp in enumerate(params.layers):
         q, kq, vq = _attn_block_common(
             x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
         )
-        pg = append_kv_decode_kernel(pages[l], kq, vq, dest_page, dest_slot)
+        hot_l = write_hot(state.hot[l], row, kq, vq)
+        new_hot.append(hot_l)
+
+        # Bulk flush (page 0 = sink for non-flushing sequences).  Ring rows
+        # in position order for the flushed block: roll by -(row + 1).
+        ok = jnp.roll(hot_l.k_codes, -(row + 1), axis=0)  # [W, B, H, D]
+        okp = jnp.roll(hot_l.k_params, -(row + 1), axis=0)
+        ov = jnp.roll(hot_l.v_codes, -(row + 1), axis=0)
+        ovp = jnp.roll(hot_l.v_params, -(row + 1), axis=0)
+        pg = flush_hot_pallas(
+            state.pages[l],
+            pack_channel_planes(ok.transpose(1, 2, 3, 0)),  # [B, H, D/2, W]
+            okp.transpose(1, 2, 3, 0),                      # [B, H, 2, W]
+            ov.transpose(1, 2, 0, 3),                       # [B, H, W, D]
+            ovp.transpose(1, 2, 3, 0),
+            fpage, lane0, from_off, flags_i,
+        )
         new_pages.append(pg)
-        attn = paged_decode_attention_rotated(
-            q, pg, page_table, seq_lens
-        ).reshape(b, cfg.num_heads * dh)
+
+        out1, m1, l1 = paged_decode_attention_rotated(
+            q, pg, page_table, flushed_new, return_state=True,
+            out_dtype=jnp.float32,  # merge in f32; bf16 only after the merge
+        )
+        out2, m2, l2 = hot_attention(q, hot_l, n_hot, row, sm_scale)
+        attn = merge_attention(out1, m1, l1, out2, m2, l2).reshape(
+            b, cfg.num_heads * dh
+        )
         x = _post_attn(x, attn, lp, spec, gather)
 
-    return rmsnorm(x, params.final_norm, cfg.norm_eps), new_pages
+    new_state = ServingState(
+        pages=new_pages, hot=new_hot, row=(row + 1) % w, flushed=flushed_new
+    )
+    return rmsnorm(x, params.final_norm, cfg.norm_eps), new_state
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "spec"),
-    donate_argnames=("pages",),
+    donate_argnames=("state",),
 )
 def decode_step(
     params: ServingParams,
-    pages: List[KVPages],
+    state: ServingState,
     ids: jnp.ndarray,         # int32 [B] — previously sampled tokens
     page_table: jnp.ndarray,  # int32 [B, max_pages]
     seq_lens: jnp.ndarray,    # int32 [B] — INCLUDING the incoming token
-    dest_page: jnp.ndarray,   # int32 [B]
-    dest_slot: jnp.ndarray,   # int32 [B]
     cfg: ModelConfig,
     spec: QuantSpec,
 ):
-    """One continuous-batching decode step.  Returns (next_ids [B], pages)."""
-    x, new_pages = decode_hidden(
-        params, pages, ids, page_table, seq_lens, dest_page, dest_slot,
-        cfg, spec,
+    """One continuous-batching decode step.  Returns (next_ids [B], state)."""
+    x, new_state = decode_hidden(
+        params, state, ids, page_table, seq_lens, cfg, spec
     )
     logits = _lm_head_logits(x, params.lm_head)
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_pages
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_state
 
 
 def prefill_hidden(
@@ -313,32 +402,43 @@ def prefill_hidden(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "spec"),
-    donate_argnames=("pages",),
+    donate_argnames=("state",),
 )
 def prefill_step(
     params: ServingParams,
-    pages: List[KVPages],
+    state: ServingState,
     ids: jnp.ndarray,        # int32 [T] — bucket-padded prompt
     table_row: jnp.ndarray,  # int32 [max_pages] — this sequence's pages
     true_len: jnp.ndarray,   # int32 scalar
+    slot: jnp.ndarray,       # int32 scalar — this sequence's batch slot
     cfg: ModelConfig,
     spec: QuantSpec,
 ):
-    """Prefill one fresh sequence; returns (first generated token, pages)."""
-    x, new_pages = prefill_hidden(params, pages, ids, table_row, cfg, spec)
+    """Prefill one fresh sequence; returns (first generated token, state).
+
+    The whole prompt lands in pages; the slot's flushed-counter is set to the
+    prompt length so decode's first ring flush masks the page-resident prefix.
+    """
+    x, new_pages = prefill_hidden(params, state.pages, ids, table_row, cfg, spec)
     last = x[jnp.maximum(true_len - 1, 0)]
     logits = _lm_head_logits(last[None], params.lm_head)[0]
-    return jnp.argmax(logits).astype(jnp.int32), new_pages
+    new_state = ServingState(
+        pages=new_pages,
+        hot=state.hot,
+        row=state.row,
+        flushed=state.flushed.at[slot].set(true_len),
+    )
+    return jnp.argmax(logits).astype(jnp.int32), new_state
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "spec"),
-    donate_argnames=("pages",),
+    donate_argnames=("state",),
 )
 def decode_burst(
     params: ServingParams,
-    pages: List[KVPages],
+    state: ServingState,
     ids: jnp.ndarray,         # int32 [B]
     page_table: jnp.ndarray,  # int32 [B, max_pages] — must pre-cover the burst
     seq_lens: jnp.ndarray,    # int32 [B] — current lengths (EXCLUDING ids)
@@ -348,39 +448,32 @@ def decode_burst(
 ):
     """Run ``n_steps`` chained decode steps inside ONE compiled program.
 
-    Destination pages/slots are derived in-graph from the page table, so the
+    All bookkeeping (ring rows, flush boundaries) is derived in-graph, so the
     host stays out of the loop entirely — this is how decode throughput is
     measured on a dispatch-latency-bound link, and how a production engine
     amortizes host work when no requests join or leave the batch.
     """
-    s = pages[0].page_size
 
     def body(_, carry):
-        ids_, pages_, lens_ = carry
-        dest_slot = lens_ % s
-        dest_page = jnp.take_along_axis(
-            page_table, (lens_ // s)[:, None], axis=1
-        )[:, 0]
+        ids_, state_, lens_ = carry
         new_lens = lens_ + 1
-        ids_, pages_ = decode_step(
-            params, pages_, ids_, page_table, new_lens, dest_page, dest_slot,
-            cfg, spec,
+        ids_, state_ = decode_step(
+            params, state_, ids_, page_table, new_lens, cfg, spec
         )
-        return ids_, pages_, new_lens
+        return ids_, state_, new_lens
 
-    return jax.lax.fori_loop(0, n_steps, body, (ids, pages, seq_lens))
+    return jax.lax.fori_loop(0, n_steps, body, (ids, state, seq_lens))
 
 
 def make_step_fns(params: ServingParams, cfg: ModelConfig, spec: QuantSpec):
     """(prefill_fn, decode_fn) closures with the engine's calling convention."""
 
-    def prefill_fn(pages, ids, table_row, true_len):
-        return prefill_step(params, pages, ids, table_row, true_len, cfg, spec)
-
-    def decode_fn(pages, ids, page_table, seq_lens, dest_page, dest_slot):
-        return decode_step(
-            params, pages, ids, page_table, seq_lens, dest_page, dest_slot,
-            cfg, spec,
+    def prefill_fn(state, ids, table_row, true_len, slot):
+        return prefill_step(
+            params, state, ids, table_row, true_len, slot, cfg, spec
         )
+
+    def decode_fn(state, ids, page_table, seq_lens):
+        return decode_step(params, state, ids, page_table, seq_lens, cfg, spec)
 
     return prefill_fn, decode_fn

@@ -39,10 +39,11 @@ from jax import shard_map
 from atom_tpu.config import QuantSpec
 from atom_tpu.models.configs import ModelConfig
 from atom_tpu.ops.formats import KernelPackedWeight
-from atom_tpu.ops.kv_layout import KVPages, make_kv_pages_kernel
+from atom_tpu.ops.kv_layout import KVPages
 from atom_tpu.serving.model import (
     ServingLayerParams,
     ServingParams,
+    ServingState,
     decode_hidden,
     prefill_hidden,
 )
@@ -132,19 +133,31 @@ def shard_serving_params(
     )
 
 
-def make_kv_pages_sharded(
-    n_layers: int, n_pages: int, kv_heads: int, page_size: int, head_dim: int,
-    mesh: Mesh, axis: str = "tp",
-) -> List[KVPages]:
-    """Per-layer KV pages sharded along the kv-head axis (dim 1)."""
-    shd = NamedSharding(mesh, P(None, axis))
-    return [
-        jax.tree.map(
-            lambda x: jax.device_put(x, shd),
-            make_kv_pages_kernel(n_pages, kv_heads, page_size, head_dim),
-        )
-        for _ in range(n_layers)
-    ]
+def make_state_sharded(
+    n_layers: int, n_pages: int, batch: int, kv_heads: int, page_size: int,
+    head_dim: int, mesh: Mesh, axis: str = "tp",
+) -> ServingState:
+    """Serving state with KV pages and the hot ring sharded by kv head."""
+    from atom_tpu.serving.model import make_serving_state
+
+    state = make_serving_state(
+        n_layers, n_pages, batch, kv_heads, page_size, head_dim
+    )
+    pg_shd = NamedSharding(mesh, P(None, axis))       # [P, H, ...]
+    hot_shd = NamedSharding(mesh, P(None, None, axis))  # [W, B, H, ...]
+    rep = NamedSharding(mesh, P())
+    return ServingState(
+        pages=[
+            jax.tree.map(lambda x: jax.device_put(x, pg_shd), pg)
+            for pg in state.pages
+        ],
+        hot=[
+            jax.tree.map(lambda x: jax.device_put(x, hot_shd), h)
+            for h in state.hot
+        ],
+        row=jax.device_put(state.row, rep),
+        flushed=jax.device_put(state.flushed, rep),
+    )
 
 
 def make_tp_step_fns(
@@ -204,56 +217,72 @@ def make_tp_step_fns(
             for lp in w_spec.layers
         ],
     )
-    pages_spec = [
-        KVPages(P(None, axis), P(None, axis), P(None, axis), P(None, axis))
-        for _ in range(cfg.num_layers)
-    ]
+    from atom_tpu.ops.kv_hot import HotKV
+
+    state_spec = ServingState(
+        pages=[
+            KVPages(P(None, axis), P(None, axis), P(None, axis), P(None, axis))
+            for _ in range(cfg.num_layers)
+        ],
+        hot=[
+            HotKV(
+                P(None, None, axis), P(None, None, axis),
+                P(None, None, axis), P(None, None, axis),
+            )
+            for _ in range(cfg.num_layers)
+        ],
+        row=P(),
+        flushed=P(),
+    )
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(w_spec, pages_spec, P(), P(), P(), P(), P()),
-        out_specs=(P(), pages_spec),
+        in_specs=(w_spec, state_spec, P(), P(), P()),
+        out_specs=(P(), state_spec),
         check_vma=False,
     )
-    def decode_tp(p, pages, ids, page_table, seq_lens, dest_page, dest_slot):
+    def decode_tp(p, state, ids, page_table, seq_lens):
         local = unstack(p)
-        hidden, new_pages = decode_hidden(
-            local, pages, ids, page_table, seq_lens, dest_page, dest_slot,
+        hidden, new_state = decode_hidden(
+            local, state, ids, page_table, seq_lens,
             shard_cfg, spec, gather=gather,
         )
         logits_local = jnp.dot(
             hidden.astype(jnp.bfloat16), local.lm_head,
             preferred_element_type=jnp.float32,
         )  # [B, V/tp]
-        return shard_argmax(logits_local), new_pages
+        return shard_argmax(logits_local), new_state
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(w_spec, pages_spec, P(), P(), P()),
-        out_specs=(P(), pages_spec),
+        in_specs=(w_spec, state_spec, P(), P(), P(), P()),
+        out_specs=(P(), state_spec),
         check_vma=False,
     )
-    def prefill_tp(p, pages, ids, table_row, true_len):
+    def prefill_tp(p, state, ids, table_row, true_len, slot):
         local = unstack(p)
         x, new_pages = prefill_hidden(
-            local, pages, ids, table_row, shard_cfg, spec, gather=gather
+            local, state.pages, ids, table_row, shard_cfg, spec, gather=gather
         )
         last = x[jnp.maximum(true_len - 1, 0)]
         logits_local = jnp.dot(
             last[None].astype(jnp.bfloat16), local.lm_head,
             preferred_element_type=jnp.float32,
         )
-        return shard_argmax(logits_local)[0], new_pages
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def decode_fn(pages, ids, page_table, seq_lens, dest_page, dest_slot):
-        return decode_tp(
-            params_sharded, pages, ids, page_table, seq_lens, dest_page,
-            dest_slot,
+        new_state = ServingState(
+            pages=new_pages,
+            hot=state.hot,
+            row=state.row,
+            flushed=state.flushed.at[slot].set(true_len),
         )
+        return shard_argmax(logits_local)[0], new_state
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def prefill_fn(pages, ids, table_row, true_len):
-        return prefill_tp(params_sharded, pages, ids, table_row, true_len)
+    def decode_fn(state, ids, page_table, seq_lens):
+        return decode_tp(params_sharded, state, ids, page_table, seq_lens)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def prefill_fn(state, ids, table_row, true_len, slot):
+        return prefill_tp(params_sharded, state, ids, table_row, true_len, slot)
 
     return prefill_fn, decode_fn

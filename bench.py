@@ -33,7 +33,11 @@ def main():
     from atom_tpu.config import ATOM_W4A4
     from atom_tpu.models.configs import Arch, ModelConfig
     from atom_tpu.serving.kvpool import KvPool
-    from atom_tpu.serving.model import decode_burst, init_serving_params
+    from atom_tpu.serving.model import (
+        decode_burst,
+        init_serving_params,
+        make_serving_state,
+    )
 
     n_layers = int(os.environ.get("BENCH_LAYERS", "32"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
@@ -68,24 +72,28 @@ def main():
     table = jnp.asarray(table)
     lens = jnp.full((batch,), ctx, jnp.int32)
     ids = jnp.ones((batch,), jnp.int32)
-    pages = pool.pages
+    state = make_serving_state(
+        n_layers, batch * max_pages + 1, batch, cfg.num_kv_heads, page,
+        cfg.head_dim,
+    )
+    state = state._replace(flushed=jnp.full((batch,), ctx, jnp.int32))
 
-    def burst(pages_, ids_, lens_, n):
-        ids_, pages_, lens_ = decode_burst(
-            params, pages_, ids_, table, lens_, jnp.int32(n), cfg, spec
+    def burst(state_, ids_, lens_, n):
+        ids_, state_, lens_ = decode_burst(
+            params, state_, ids_, table, lens_, jnp.int32(n), cfg, spec
         )
-        return ids_, pages_, lens_
+        return ids_, state_, lens_
 
     n_lo, n_hi = 2, 34
     t0 = time.perf_counter()
-    ids, pages, lens = burst(pages, ids, lens, n_lo)
+    ids, state, lens = burst(state, ids, lens, n_lo)
     _ = float(jnp.sum(ids))
     log(f"compile + first burst: {time.perf_counter() - t0:.1f}s")
 
     def timed(n):
-        nonlocal ids, pages, lens
+        nonlocal ids, state, lens
         t0 = time.perf_counter()
-        ids, pages, lens = burst(pages, ids, lens, n)
+        ids, state, lens = burst(state, ids, lens, n)
         _ = float(jnp.sum(ids))
         return time.perf_counter() - t0
 

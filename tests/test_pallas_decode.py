@@ -11,14 +11,13 @@ import pytest
 
 from atom_tpu.ops import reference as R
 from atom_tpu.ops.kv_layout import (
-    append_kv_decode_kernel,
     append_kv_prefill_kernel,
     kv_codes_from_kernel,
     kv_pages_from_reference,
     make_kv_pages_kernel,
 )
 from atom_tpu.ops.pallas_decode import (
-    append_params_pallas,
+    flush_hot_pallas,
     paged_decode_attention_rotated,
 )
 
@@ -136,58 +135,105 @@ def test_kernel_layout_roundtrip_and_reference_conversion():
     for a, b in zip(kpages, converted):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # decode-append one more token at slot t % PAGE of page table_row[t//PAGE]
-    key2 = jax.random.PRNGKey(2)
-    newk = R.quantize_kv_asym(
-        jax.random.normal(key2, (1, kv_heads, HEAD_DIM), jnp.float32)
-    )
-    newv = R.quantize_kv_asym(
-        jax.random.normal(key2, (1, kv_heads, HEAD_DIM), jnp.float32) + 1.0
-    )
-    page_idx = table_row[jnp.asarray([t // PAGE])]
-    slot = jnp.asarray([t % PAGE], jnp.int32)
-    kpages2 = append_kv_decode_kernel(kpages, newk, newv, page_idx, slot)
-
-    k_codes, k_params, v_codes, v_params = kv_codes_from_kernel(kpages2)
-    p, s = int(page_idx[0]), int(slot[0])
-    np.testing.assert_array_equal(
-        np.asarray(k_codes[p, :, s, :]), np.asarray(newk.codes[0])
-    )
-    np.testing.assert_allclose(
-        np.asarray(k_params[p, :, s, :]), np.asarray(newk.params[0]), rtol=1e-6
-    )
-    np.testing.assert_array_equal(
-        np.asarray(v_codes[p, :, s, :]), np.asarray(newv.codes[0])
-    )
-    # pre-existing neighbours in the same byte rows survived the RMW,
-    # and untouched pages' params survived the Pallas RMW append
-    old = kv_codes_from_kernel(kpages)
-    np.testing.assert_array_equal(
-        np.asarray(v_codes[1, :, 7, :]), np.asarray(old[2][1, :, 7, :])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(k_params[1]), np.asarray(old[1][1])
-    )
 
 
-def test_params_append_pallas_touches_only_target():
-    kv_heads, s = 2, 128
-    kprm = jnp.arange(3 * kv_heads * 2 * s, dtype=jnp.float32).reshape(
-        3, kv_heads, 2, s
+def test_flush_hot_pallas_and_hot_attention():
+    """Flush W-aligned blocks into pages == reference prefill of the same
+    tokens; hot attention + merge == full attention oracle."""
+    from atom_tpu.ops.kv_hot import (
+        hot_attention,
+        make_hot,
+        merge_attention,
+        write_hot,
     )
-    vprm = -kprm
-    new_k = jnp.full((2, kv_heads, 2), 7.5, jnp.float32)
-    new_v = jnp.full((2, kv_heads, 2), -2.5, jnp.float32)
-    page_idx = jnp.asarray([1, 2], jnp.int32)
-    slot = jnp.asarray([5, 100], jnp.int32)
-    k2, v2 = append_params_pallas(
-        kprm, vprm, new_k, new_v, page_idx, slot, interpret=True
+    from atom_tpu.ops.kv_layout import pack_channel_planes
+
+    kv_heads, d, w = 2, HEAD_DIM, 32
+    batch = 2
+    n_pages = 4
+    key = jax.random.PRNGKey(3)
+
+    # Sequence lengths chosen so seq 0 flushes a FULL block and seq 1 flushes
+    # with a masked prefix (its first 5 tokens were "prefilled").
+    pre = [0, 5]
+    total = [32, 32]
+    k_vals = jax.random.normal(key, (batch, 32, kv_heads, d), jnp.float32)
+    v_vals = -k_vals + 0.25
+
+    kq = [R.quantize_kv_asym(k_vals[b]) for b in range(batch)]
+    vq = [R.quantize_kv_asym(v_vals[b]) for b in range(batch)]
+
+    # --- reference: straight prefill append of all 32 tokens ---
+    want = make_kv_pages_kernel(n_pages, kv_heads, PAGE, HEAD_DIM)
+    for b in range(batch):
+        want = append_kv_prefill_kernel(
+            want, kq[b], vq[b], jnp.asarray([b + 1, 0], jnp.int32)
+        )
+
+    # --- hot path: write rows 0..31 then flush (seq b -> page b+1, lane0 0) ---
+    pages = make_kv_pages_kernel(n_pages, kv_heads, PAGE, HEAD_DIM)
+    # pre-populate seq 1's prefix via prefill (tokens [0, 5))
+    pages = append_kv_prefill_kernel(
+        pages,
+        R.KVQuant(kq[1].codes[:5], kq[1].params[:5]),
+        R.KVQuant(vq[1].codes[:5], vq[1].params[:5]),
+        jnp.asarray([2, 0], jnp.int32),
     )
-    want_k = np.array(kprm)
-    want_k[1, :, :, 5] = 7.5
-    want_k[2, :, :, 100] = 7.5
-    np.testing.assert_array_equal(np.asarray(k2), want_k)
-    want_v = np.array(vprm)
-    want_v[1, :, :, 5] = -2.5
-    want_v[2, :, :, 100] = -2.5
-    np.testing.assert_array_equal(np.asarray(v2), want_v)
+    hot = make_hot(batch, kv_heads, d, w)
+    for j in range(w):
+        kj = R.KVQuant(
+            jnp.stack([kq[b].codes[j] for b in range(batch)]),
+            jnp.stack([kq[b].params[j] for b in range(batch)]),
+        )
+        vj = R.KVQuant(
+            jnp.stack([vq[b].codes[j] for b in range(batch)]),
+            jnp.stack([vq[b].params[j] for b in range(batch)]),
+        )
+        hot = write_hot(hot, jnp.int32(j % w), kj, vj)
+
+    row_now = jnp.int32(w - 1)
+    ok = jnp.roll(hot.k_codes, -(row_now + 1), axis=0)
+    okp = jnp.roll(hot.k_params, -(row_now + 1), axis=0)
+    ov = jnp.roll(hot.v_codes, -(row_now + 1), axis=0)
+    ovp = jnp.roll(hot.v_params, -(row_now + 1), axis=0)
+    pages = flush_hot_pallas(
+        pages,
+        pack_channel_planes(ok.transpose(1, 2, 3, 0)),
+        okp.transpose(1, 2, 3, 0),
+        ov.transpose(1, 2, 0, 3),
+        ovp.transpose(1, 2, 3, 0),
+        jnp.asarray([1, 2], jnp.int32),   # pages
+        jnp.asarray([0, 0], jnp.int32),   # lane0
+        jnp.asarray(pre, jnp.int32),      # from_off
+        jnp.asarray([1, 1], jnp.int32),   # flags
+        interpret=True,
+    )
+    for a, b_ in zip(pages, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # --- hot attention + merge == oracle over the full 32 tokens ---
+    q = jax.random.normal(jax.random.PRNGKey(7), (batch, kv_heads, d), jnp.float32)
+    lens = jnp.asarray(total, jnp.int32)
+    table = jnp.asarray([[1, 0], [2, 0]], jnp.int32)
+    sm = d ** -0.5
+
+    # paged part over the first 16 "flushed" tokens + hot part over the rest
+    flushed = jnp.asarray([16, 16], jnp.int32)
+    out1, m1, l1 = paged_decode_attention_rotated(
+        q, pages, table, flushed, return_state=True, out_dtype=jnp.float32,
+        interpret=True,
+    )
+    n_hot = lens - flushed
+    out2, m2, l2 = hot_attention(q, hot, n_hot, row_now, sm)
+    got = merge_attention(out1, m1, l1, out2, m2, l2, out_dtype=jnp.float32)
+
+    # oracle: dense attention over all 32 dequantized tokens
+    for b in range(batch):
+        kd = R.dequantize_kv(kq[b].codes, kq[b].params)  # [32, H, D]
+        vd = R.dequantize_kv(vq[b].codes, vq[b].params)
+        scores = jnp.einsum("hd,thd->ht", q[b], kd) * sm
+        pmax = jax.nn.softmax(scores, axis=-1)
+        want_o = jnp.einsum("ht,thd->hd", pmax, vd)
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(want_o), rtol=3e-4, atol=3e-4
+        )

@@ -15,10 +15,11 @@ from atom_tpu.serving.kvpool import KvPool
 from atom_tpu.serving.model import (
     decode_step,
     init_serving_params,
+    make_serving_state,
     prefill_step,
 )
 from atom_tpu.serving.parallel import (
-    make_kv_pages_sharded,
+    make_state_sharded,
     make_tp_step_fns,
     shard_serving_params,
 )
@@ -49,43 +50,44 @@ def mesh():
 def test_tp_decode_and_prefill_match_single_chip(mesh):
     params = init_serving_params(jax.random.PRNGKey(0), CFG, SPEC)
     n_pages = 8
+    batch = 2
     rng = np.random.Generator(np.random.PCG64(1))
     prompt = rng.integers(1, CFG.vocab_size, 30).astype(np.int32)
 
     # --- single chip ---
-    pool = KvPool(CFG.num_layers, n_pages, CFG.num_kv_heads, PAGE, CFG.head_dim)
-    pages = pool.pages
+    state = make_serving_state(
+        CFG.num_layers, n_pages, batch, CFG.num_kv_heads, PAGE, CFG.head_dim
+    )
     ids = np.zeros((32,), np.int32)
     ids[: len(prompt)] = prompt
     table_row = jnp.asarray([1, 2], jnp.int32)
-    tok_s, pages = prefill_step(
-        params, pages, jnp.asarray(ids), table_row, jnp.int32(len(prompt)),
-        CFG, SPEC,
+    tok_s, state = prefill_step(
+        params, state, jnp.asarray(ids), table_row, jnp.int32(len(prompt)),
+        jnp.int32(0), CFG, SPEC,
     )
-    b = 2
     table = jnp.asarray([[1, 2], [0, 0]], jnp.int32)
-    lens = jnp.asarray([len(prompt) + 1, 1], jnp.int32)
-    dp = jnp.asarray([1, 0], jnp.int32)
-    ds = jnp.asarray([len(prompt) % PAGE, 0], jnp.int32)
+    lens = jnp.asarray([len(prompt) + 1, 0], jnp.int32)
     ids_b = jnp.asarray([int(tok_s), 3], jnp.int32)
-    tok2_s, pages = decode_step(
-        params, pages, ids_b, table, lens, dp, ds, CFG, SPEC
-    )
+    tok2_s, state = decode_step(params, state, ids_b, table, lens, CFG, SPEC)
 
     # --- tensor parallel ---
     sparams = shard_serving_params(params, CFG, mesh)
-    spages = make_kv_pages_sharded(
-        CFG.num_layers, n_pages, CFG.num_kv_heads, PAGE, CFG.head_dim, mesh
+    sstate = make_state_sharded(
+        CFG.num_layers, n_pages, batch, CFG.num_kv_heads, PAGE, CFG.head_dim,
+        mesh,
     )
     prefill_tp, decode_tp = make_tp_step_fns(sparams, CFG, SPEC, mesh)
-    tok_t, spages = prefill_tp(
-        spages, jnp.asarray(ids), table_row, jnp.int32(len(prompt))
+    tok_t, sstate = prefill_tp(
+        sstate, jnp.asarray(ids), table_row, jnp.int32(len(prompt)),
+        jnp.int32(0),
     )
     assert int(tok_t) == int(tok_s)
-    tok2_t, spages = decode_tp(spages, ids_b, table, lens, dp, ds)
+    tok2_t, sstate = decode_tp(sstate, ids_b, table, lens)
     np.testing.assert_array_equal(np.asarray(tok2_t), np.asarray(tok2_s))
 
-    # KV pages identical (gathers the head-sharded arrays)
+    # KV pages + hot ring identical (gathers the head-sharded arrays)
     for l in range(CFG.num_layers):
-        for a, b_ in zip(pages[l], spages[l]):
+        for a, b_ in zip(state.pages[l], sstate.pages[l]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        for a, b_ in zip(state.hot[l], sstate.hot[l]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
