@@ -256,64 +256,81 @@ def paged_decode_attention_rotated(
 
 
 # ---------------------------------------------------------------------------
-# Bulk hot-ring -> pages flush
+# Bulk hot-ring -> pages flush (synchronized: once per ring wrap)
 # ---------------------------------------------------------------------------
 
 
 def _flush_kernel(
-    pg_ref,     # int32 [B] — target page (0 = sink for non-flushing seqs)
-    lane0_ref,  # int32 [B] — start slot within the page (multiple of W)
-    off_ref,    # int32 [B] — first valid token offset within the block
-    flag_ref,   # int32 [B] — 1 if this sequence flushes
-    kfl_ref,    # int8 [1, H, D/2, W] — channel-plane packed K flush block
+    pg_ref,     # int32 [B] — target page for this pass (0 = sink)
+    slot0_ref,  # int32 [B] — global slot of THIS page's lane 0
+    o_ref,      # int32 [B] — scratch lane of flush token 0, in [0, S)
+    lo_ref,     # int32 [B] — first valid global slot (= flushed before flush)
+    hi_ref,     # int32 [B] — one past last valid global slot (= lens)
+    kfl_ref,    # int8 [1, H, D/2, W] — channel-plane packed K, position order
     kpf_ref,    # f32 [1, H, 2, W]
-    vfl_ref,    # int8 [1, H, W, D] — UNPACKED u4 V codes
+    vfl_ref,    # int8 [1, H, W, D] — UNPACKED u4 V codes, position order
     vpf_ref,    # f32 [1, H, 2, W]
-    kpi_ref,    # int8 [1, H, D/2, S]   (aliased pages)
-    kri_ref,    # f32 [1, H, 2, S]
-    vpi_ref,    # int8 [1, H, S/2, D]
-    vri_ref,    # f32 [1, H, 2, S]
-    kpo_ref, kro_ref, vpo_ref, vro_ref,
+    kpi_ref, kri_ref, vpi_ref, vri_ref,   # aliased page blocks (in)
+    kpo_ref, kro_ref, vpo_ref, vro_ref,   # aliased page blocks (out)
     *,
     w: int,
     page_size: int,
+    base: int,  # 0 for the pass writing lanes [o, S), S for the wrap pass
 ):
+    """Write one sequence's pending ring block [lo, hi) into ONE page.
+
+    The W-token block starts at an arbitrary in-page lane ``o`` (sequences
+    have independent phases under synchronized flushing), so it may straddle
+    one page boundary: pass ``base=0`` writes the part landing in the first
+    page, ``base=S`` the wrapped part in the next page.  A 2S-lane circular
+    roll places the block; global-slot range masks select the valid part.
+    """
     b = pl.program_id(0)
     s = page_size
-    half_s = s // 2
-    lane0 = lane0_ref[b]
-    off = off_ref[b]
-    do = flag_ref[b] > 0
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
-    in_rng = do & (lane >= lane0 + off) & (lane < lane0 + w)  # [1, 1, S]
+    half = s // 2
+    o = o_ref[b]
+    slot0 = slot0_ref[b]
+    lo = lo_ref[b]
+    hi = hi_ref[b]
 
-    # K codes + K/V params: place the W-lane block at lane0 via dynamic roll.
-    # (Mosaic's dynamic rotate is 32-bit only — widen int8 around it.)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+    g = slot0 + base + lane  # global slot per lane of THIS page
+    valid = (g >= lo) & (g < hi)  # [1, 1, S]
+
     def lanes(fl_ref, pi_ref, po_ref, as_i32=False):
         fl = fl_ref[0].astype(jnp.int32) if as_i32 else fl_ref[0]
-        fl = jnp.pad(fl, ((0, 0), (0, 0), (0, s - w)))  # [H, rows, S]
-        rolled = pltpu.roll(fl, lane0, 2)
+        fl = jnp.pad(fl, ((0, 0), (0, 0), (0, 2 * s - w)))  # [H, rows, 2S]
+        rolled = pltpu.roll(fl, o, 2)[:, :, base : base + s]
         if as_i32:
             rolled = rolled.astype(jnp.int8)
-        po_ref[0] = jnp.where(in_rng, rolled, pi_ref[0])
+        po_ref[0] = jnp.where(valid, rolled, pi_ref[0])
 
     lanes(kfl_ref, kpi_ref, kpo_ref, as_i32=True)
     lanes(kpf_ref, kri_ref, kro_ref)
     lanes(vpf_ref, vri_ref, vro_ref)
 
-    # V codes: the block lies in one nibble half; RMW the affected rows.
-    row0 = lane0 % half_s
-    is_low = lane0 < half_s
-    sub = jax.lax.broadcasted_iota(jnp.int32, (1, half_s, 1), 1)
-    row_rng = do & (sub >= row0 + off) & (sub < row0 + w)
-    vfl = vfl_ref[0].astype(jnp.int32)  # [H, W, D]
-    vfl_pad = jnp.pad(vfl, ((0, 0), (0, half_s - w), (0, 0)))
-    vfl_rolled = pltpu.roll(vfl_pad, row0, 1) & 0x0F  # [H, S/2, D]
+    # V codes: two nibble-half regions, each a circular row roll of the
+    # unpacked block plus a global-slot row mask and a nibble merge.
+    vfl = jnp.pad(
+        vfl_ref[0].astype(jnp.int32) & 0x0F, ((0, 0), (0, half - w), (0, 0))
+    )  # [H, S/2, D]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (1, half, 1), 1)
+
     old = vpi_ref[0].astype(jnp.int32) & 0xFF
-    merged = jnp.where(
-        is_low, (old & 0xF0) | vfl_rolled, (old & 0x0F) | (vfl_rolled << 4)
-    )
-    vpo_ref[0] = jnp.where(row_rng, merged, old).astype(jnp.int8)
+    for region_lane0, is_low in ((base, True), (base + half, False)):
+        gr = slot0 + region_lane0 + row_i
+        valid_r = (gr >= lo) & (gr < hi)
+        shift = o - region_lane0
+        rolled = pltpu.roll(vfl, shift % half, 1)
+        # tokens whose scratch lane is outside this region wrap around in the
+        # half-sized roll; valid_r masks them out, BUT a token at roll
+        # distance >= half could alias a valid row — impossible since
+        # W <= S/2 and the region spans exactly S/2 lanes.
+        merged = jnp.where(
+            is_low, (old & 0xF0) | rolled, (old & 0x0F) | (rolled << 4)
+        )
+        old = jnp.where(valid_r, merged, old)
+    vpo_ref[0] = old.astype(jnp.int8)
 
 
 def flush_hot_pallas(
@@ -322,18 +339,19 @@ def flush_hot_pallas(
     k_prm: jnp.ndarray,     # f32 [B, H, 2, W]
     v_flush: jnp.ndarray,   # int8 [B, H, W, D] unpacked u4
     v_prm: jnp.ndarray,     # f32 [B, H, 2, W]
-    page_idx: jnp.ndarray,  # int32 [B] (0 = sink)
-    lane0: jnp.ndarray,     # int32 [B] (multiple of W)
-    from_off: jnp.ndarray,  # int32 [B]
-    flags: jnp.ndarray,     # int32 [B]
+    page_a: jnp.ndarray,    # int32 [B] — page of scratch lanes [0, S) (0 = sink)
+    page_b: jnp.ndarray,    # int32 [B] — page of scratch lanes [S, 2S) (0 = sink)
+    slot0: jnp.ndarray,     # int32 [B] — global slot of page_a lane 0
+    o: jnp.ndarray,         # int32 [B] in [0, S)
+    lo: jnp.ndarray,        # int32 [B]
+    hi: jnp.ndarray,        # int32 [B]
     interpret: bool = False,
 ) -> KVPages:
-    """Write each flushing sequence's W-token block into its page, in place.
+    """Write each sequence's pending ring block into its page(s), in place.
 
-    W | S/2 and lane0 is W-aligned, so a block always lands inside a single
-    nibble half of a single page — K and params are pure lane-range
-    overwrites, V is a row-range nibble merge.  Non-flushing sequences map to
-    page 0 (the sink); consecutive sink visits dedupe in the pipeline.
+    Two aliased passes (first page, then the wrapped page for boundary-
+    crossing sequences); runs once per ring wrap.  Non-flushing sequences map
+    their pages to the sink (page 0) and mask everything out.
     """
     from atom_tpu.ops.runtime import interpret_default
 
@@ -342,42 +360,46 @@ def flush_hot_pallas(
     s = pages.page_size
     d = pages.head_dim
 
-    kernel = functools.partial(_flush_kernel, w=w, page_size=s)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(bsz,),
-            in_specs=[
-                pl.BlockSpec((1, h, dhalf, w), lambda b, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, h, 2, w), lambda b, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, h, w, d), lambda b, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, h, 2, w), lambda b, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, h, dhalf, s), lambda b, pg, *_: (pg[b], 0, 0, 0)),
-                pl.BlockSpec((1, h, 2, s), lambda b, pg, *_: (pg[b], 0, 0, 0)),
-                pl.BlockSpec((1, h, s // 2, d), lambda b, pg, *_: (pg[b], 0, 0, 0)),
-                pl.BlockSpec((1, h, 2, s), lambda b, pg, *_: (pg[b], 0, 0, 0)),
+    def one_pass(pg, slot0_pass, base, pages_):
+        kernel = functools.partial(
+            _flush_kernel, w=w, page_size=s, base=base
+        )
+        page_specs = [
+            pl.BlockSpec((1, h, dhalf, s), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
+            pl.BlockSpec((1, h, 2, s), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
+            pl.BlockSpec((1, h, s // 2, d), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
+            pl.BlockSpec((1, h, 2, s), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(bsz,),
+                in_specs=[
+                    pl.BlockSpec((1, h, dhalf, w), lambda bi, *_: (bi, 0, 0, 0)),
+                    pl.BlockSpec((1, h, 2, w), lambda bi, *_: (bi, 0, 0, 0)),
+                    pl.BlockSpec((1, h, w, d), lambda bi, *_: (bi, 0, 0, 0)),
+                    pl.BlockSpec((1, h, 2, w), lambda bi, *_: (bi, 0, 0, 0)),
+                ] + page_specs,
+                out_specs=page_specs,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(pages.k_pages.shape, jnp.int8),
+                jax.ShapeDtypeStruct(pages.k_params.shape, jnp.float32),
+                jax.ShapeDtypeStruct(pages.v_pages.shape, jnp.int8),
+                jax.ShapeDtypeStruct(pages.v_params.shape, jnp.float32),
             ],
-            out_specs=[
-                pl.BlockSpec((1, h, dhalf, s), lambda b, pg, *_: (pg[b], 0, 0, 0)),
-                pl.BlockSpec((1, h, 2, s), lambda b, pg, *_: (pg[b], 0, 0, 0)),
-                pl.BlockSpec((1, h, s // 2, d), lambda b, pg, *_: (pg[b], 0, 0, 0)),
-                pl.BlockSpec((1, h, 2, s), lambda b, pg, *_: (pg[b], 0, 0, 0)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct(pages.k_pages.shape, jnp.int8),
-            jax.ShapeDtypeStruct(pages.k_params.shape, jnp.float32),
-            jax.ShapeDtypeStruct(pages.v_pages.shape, jnp.int8),
-            jax.ShapeDtypeStruct(pages.v_params.shape, jnp.float32),
-        ],
-        # inputs after the 4 scalar-prefetch args: flush data 4..7, pages 8..11
-        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(page_idx, lane0, from_off, flags,
-      k_flush, k_prm, v_flush, v_prm,
-      pages.k_pages, pages.k_params, pages.v_pages, pages.v_params)
-    return KVPages(*out)
+            # page blocks are inputs 9..12 (after 5 prefetch + 4 flush inputs)
+            input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(pg, slot0_pass, o, lo, hi,
+          k_flush, k_prm, v_flush, v_prm,
+          pages_.k_pages, pages_.k_params, pages_.v_pages, pages_.v_params)
+        return KVPages(*out)
+
+    pages = one_pass(page_a, slot0, 0, pages)
+    pages = one_pass(page_b, slot0, s, pages)
+    return pages

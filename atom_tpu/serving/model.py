@@ -44,6 +44,7 @@ from atom_tpu.ops.formats import (
     quantize_weight_packed,
 )
 from atom_tpu.ops.kv_hot import (
+    HOT_W,
     HotKV,
     hot_attention,
     make_hot,
@@ -245,6 +246,7 @@ def decode_hidden(
     cfg: ModelConfig,
     spec: QuantSpec,
     gather=None,
+    flush: bool = False,
 ):
     """Layer stack of one decode step -> (final-norm hidden [B, D], state).
 
@@ -263,24 +265,33 @@ def decode_hidden(
     w = state.hot[0].window
     s_page = state.pages[0].page_size
     row = state.row
-    # Flush decision (identical for every layer): when a sequence's length
-    # hits a W boundary, its last W positions move from the ring to its page.
-    flags = ((seq_lens % w) == 0) & (seq_lens > 0)
-    blk_start = jnp.maximum(seq_lens - w, 0)
-    lane0 = blk_start % s_page
-    fpage = jnp.where(
-        flags,
-        jnp.take_along_axis(
-            page_table, (blk_start // s_page)[:, None], axis=1
-        )[:, 0],
-        0,
-    )
-    # First flush after prefill: mask the block prefix that prefill already
-    # wrote to the page.
-    from_off = jnp.clip(state.flushed - blk_start, 0, w)
-    flushed_new = jnp.where(flags, seq_lens, state.flushed)
+    max_pg = page_table.shape[1]
+    # SYNCHRONIZED flush: every ``W`` decode steps (when the ring wraps) every
+    # active sequence's pending block [flushed, lens) moves to its page(s).
+    # The flush/no-flush choice is a STATIC variant of the step function (the
+    # host knows the step count): a lax.cond around the aliased flush kernel
+    # measured as a whole-pool copy per step.
+    if flush:
+        active = (seq_lens > 0) & (seq_lens > state.flushed)
+        page_lo = (seq_lens - w) // s_page  # floor; may be negative
+        slot0 = page_lo * s_page
+        o_lane = seq_lens - w - slot0  # in [0, S)
+
+        def tbl(idx):
+            return jnp.take_along_axis(
+                page_table, jnp.clip(idx, 0, max_pg - 1)[:, None], axis=1
+            )[:, 0]
+
+        pg_a = jnp.where(active & (page_lo >= 0), tbl(page_lo), 0)
+        pg_b = jnp.where(
+            active & ((page_lo + 1) * s_page < seq_lens), tbl(page_lo + 1), 0
+        )
+        lo = state.flushed
+        hi = seq_lens
+        flushed_new = jnp.where(active, seq_lens, state.flushed)
+    else:
+        flushed_new = state.flushed
     n_hot = seq_lens - flushed_new  # ring-resident suffix per sequence
-    flags_i = flags.astype(jnp.int32)
 
     new_pages, new_hot = [], []
     for l, lp in enumerate(params.layers):
@@ -290,20 +301,22 @@ def decode_hidden(
         hot_l = write_hot(state.hot[l], row, kq, vq)
         new_hot.append(hot_l)
 
-        # Bulk flush (page 0 = sink for non-flushing sequences).  Ring rows
-        # in position order for the flushed block: roll by -(row + 1).
-        ok = jnp.roll(hot_l.k_codes, -(row + 1), axis=0)  # [W, B, H, D]
-        okp = jnp.roll(hot_l.k_params, -(row + 1), axis=0)
-        ov = jnp.roll(hot_l.v_codes, -(row + 1), axis=0)
-        ovp = jnp.roll(hot_l.v_params, -(row + 1), axis=0)
-        pg = flush_hot_pallas(
-            state.pages[l],
-            pack_channel_planes(ok.transpose(1, 2, 3, 0)),  # [B, H, D/2, W]
-            okp.transpose(1, 2, 3, 0),                      # [B, H, 2, W]
-            ov.transpose(1, 2, 0, 3),                       # [B, H, W, D]
-            ovp.transpose(1, 2, 3, 0),
-            fpage, lane0, from_off, flags_i,
-        )
+        if flush:
+            # Ring rows in position order (oldest first): roll by -(row + 1).
+            ok = jnp.roll(hot_l.k_codes, -(row + 1), axis=0)  # [W, B, H, D]
+            okp = jnp.roll(hot_l.k_params, -(row + 1), axis=0)
+            ov = jnp.roll(hot_l.v_codes, -(row + 1), axis=0)
+            ovp = jnp.roll(hot_l.v_params, -(row + 1), axis=0)
+            pg = flush_hot_pallas(
+                state.pages[l],
+                pack_channel_planes(ok.transpose(1, 2, 3, 0)),  # [B,H,D/2,W]
+                okp.transpose(1, 2, 3, 0),                      # [B,H,2,W]
+                ov.transpose(1, 2, 0, 3),                       # [B,H,W,D]
+                ovp.transpose(1, 2, 3, 0),
+                pg_a, pg_b, slot0, o_lane, lo, hi,
+            )
+        else:
+            pg = state.pages[l]
         new_pages.append(pg)
 
         out1, m1, l1 = paged_decode_attention_rotated(
@@ -324,7 +337,7 @@ def decode_hidden(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "spec"),
+    static_argnames=("cfg", "spec", "flush"),
     donate_argnames=("state",),
 )
 def decode_step(
@@ -335,10 +348,15 @@ def decode_step(
     seq_lens: jnp.ndarray,    # int32 [B] — INCLUDING the incoming token
     cfg: ModelConfig,
     spec: QuantSpec,
+    flush: bool = False,
 ):
-    """One continuous-batching decode step.  Returns (next_ids [B], state)."""
+    """One continuous-batching decode step.  Returns (next_ids [B], state).
+
+    ``flush`` MUST be True exactly when the ring wraps this step (the host
+    tracks the decode-step count: flush on every W-th call).
+    """
     x, new_state = decode_hidden(
-        params, state, ids, page_table, seq_lens, cfg, spec
+        params, state, ids, page_table, seq_lens, cfg, spec, flush=flush
     )
     logits = _lm_head_logits(x, params.lm_head)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_state
@@ -442,11 +460,11 @@ def decode_burst(
     ids: jnp.ndarray,         # int32 [B]
     page_table: jnp.ndarray,  # int32 [B, max_pages] — must pre-cover the burst
     seq_lens: jnp.ndarray,    # int32 [B] — current lengths (EXCLUDING ids)
-    n_steps: jnp.ndarray,     # int32 scalar (dynamic — one compile per shape set)
+    n_steps: jnp.ndarray,     # int32 scalar — number of W-step ring WINDOWS
     cfg: ModelConfig,
     spec: QuantSpec,
 ):
-    """Run ``n_steps`` chained decode steps inside ONE compiled program.
+    """Run ``n_steps`` whole ring windows (W decode steps each) in ONE program.
 
     All bookkeeping (ring rows, flush boundaries) is derived in-graph, so the
     host stays out of the loop entirely — this is how decode throughput is
@@ -454,15 +472,29 @@ def decode_burst(
     amortizes host work when no requests join or leave the batch.
     """
 
-    def body(_, carry):
+    w = state.hot[0].window
+
+    def nf_body(_, carry):
         ids_, state_, lens_ = carry
         new_lens = lens_ + 1
         ids_, state_ = decode_step(
-            params, state_, ids_, page_table, new_lens, cfg, spec
+            params, state_, ids_, page_table, new_lens, cfg, spec, flush=False
         )
         return ids_, state_, new_lens
 
-    return jax.lax.fori_loop(0, n_steps, body, (ids, state, seq_lens))
+    def window(_, carry):
+        ids_, state_, lens_ = jax.lax.fori_loop(0, w - 1, nf_body, carry)
+        new_lens = lens_ + 1
+        ids_, state_ = decode_step(
+            params, state_, ids_, page_table, new_lens, cfg, spec, flush=True
+        )
+        return ids_, state_, new_lens
+
+    # n_steps is interpreted in whole ring windows (W steps each), keeping
+    # the flush cadence identical to the host-driven engine.
+    return jax.lax.fori_loop(
+        0, n_steps, window, (ids, state, seq_lens)
+    )
 
 
 def make_step_fns(params: ServingParams, cfg: ModelConfig, spec: QuantSpec):
@@ -473,7 +505,13 @@ def make_step_fns(params: ServingParams, cfg: ModelConfig, spec: QuantSpec):
             params, state, ids, table_row, true_len, slot, cfg, spec
         )
 
+    counter = {"n": 0}
+
     def decode_fn(state, ids, page_table, seq_lens):
-        return decode_step(params, state, ids, page_table, seq_lens, cfg, spec)
+        counter["n"] += 1
+        flush = counter["n"] % HOT_W == 0
+        return decode_step(
+            params, state, ids, page_table, seq_lens, cfg, spec, flush=flush
+        )
 
     return prefill_fn, decode_fn

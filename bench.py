@@ -84,7 +84,10 @@ def main():
         )
         return ids_, state_, lens_
 
-    n_lo, n_hi = 2, 34
+    # decode_burst counts whole ring WINDOWS (W=32 steps each).
+    from atom_tpu.ops.kv_hot import HOT_W
+
+    n_lo, n_hi = 1, 4
     t0 = time.perf_counter()
     ids, state, lens = burst(state, ids, lens, n_lo)
     _ = float(jnp.sum(ids))
@@ -101,7 +104,7 @@ def main():
     for _ in range(3):
         t_lo = timed(n_lo)
         t_hi = timed(n_hi)
-        samples.append((t_hi - t_lo) / (n_hi - n_lo))
+        samples.append((t_hi - t_lo) / ((n_hi - n_lo) * HOT_W))
         log(f"  step time sample: {samples[-1]*1e3:.2f} ms")
     per_step = min(samples)
     tok_s = batch / per_step

@@ -202,10 +202,12 @@ def test_flush_hot_pallas_and_hot_attention():
         okp.transpose(1, 2, 3, 0),
         ov.transpose(1, 2, 0, 3),
         ovp.transpose(1, 2, 3, 0),
-        jnp.asarray([1, 2], jnp.int32),   # pages
-        jnp.asarray([0, 0], jnp.int32),   # lane0
-        jnp.asarray(pre, jnp.int32),      # from_off
-        jnp.asarray([1, 1], jnp.int32),   # flags
+        jnp.asarray([1, 2], jnp.int32),   # page_a
+        jnp.asarray([0, 0], jnp.int32),   # page_b (no crossing)
+        jnp.asarray([0, 0], jnp.int32),   # slot0
+        jnp.asarray([0, 0], jnp.int32),   # o
+        jnp.asarray(pre, jnp.int32),      # lo (= flushed before)
+        jnp.asarray(total, jnp.int32),    # hi (= lens)
         interpret=True,
     )
     for a, b_ in zip(pages, want):
@@ -236,4 +238,60 @@ def test_flush_hot_pallas_and_hot_attention():
         want_o = jnp.einsum("ht,thd->hd", pmax, vd)
         np.testing.assert_allclose(
             np.asarray(got[b]), np.asarray(want_o), rtol=3e-4, atol=3e-4
+        )
+
+def test_flush_crossing_page_boundary():
+    """A flush block spanning two pages lands correctly via the two passes."""
+    from atom_tpu.ops.kv_hot import make_hot, write_hot
+    from atom_tpu.ops.kv_layout import pack_channel_planes
+
+    kv_heads, d, w = 2, HEAD_DIM, 32
+    n_pages = 4
+    total = 144  # flush block = slots [112, 144): crosses the 128 boundary
+    key = jax.random.PRNGKey(9)
+    k_vals = jax.random.normal(key, (total, kv_heads, d), jnp.float32)
+    kq = R.quantize_kv_asym(k_vals)
+    vq = R.quantize_kv_asym(0.5 - k_vals)
+    table = jnp.asarray([1, 2, 0], jnp.int32)
+
+    want = append_kv_prefill_kernel(
+        make_kv_pages_kernel(n_pages, kv_heads, PAGE, HEAD_DIM), kq, vq, table
+    )
+
+    pages = append_kv_prefill_kernel(
+        make_kv_pages_kernel(n_pages, kv_heads, PAGE, HEAD_DIM),
+        R.KVQuant(kq.codes[:112], kq.params[:112]),
+        R.KVQuant(vq.codes[:112], vq.params[:112]),
+        table,
+    )
+    hot = make_hot(1, kv_heads, d, w)
+    for j in range(w):
+        hot = write_hot(
+            hot, jnp.int32(j),
+            R.KVQuant(kq.codes[112 + j][None], kq.params[112 + j][None]),
+            R.KVQuant(vq.codes[112 + j][None], vq.params[112 + j][None]),
+        )
+    row_now = jnp.int32(w - 1)
+    ok = jnp.roll(hot.k_codes, -(row_now + 1), axis=0)
+    okp = jnp.roll(hot.k_params, -(row_now + 1), axis=0)
+    ov = jnp.roll(hot.v_codes, -(row_now + 1), axis=0)
+    ovp = jnp.roll(hot.v_params, -(row_now + 1), axis=0)
+    # lens=144, W=32: page_lo = 112 // 128 = 0, slot0 = 0, o = 112
+    pages = flush_hot_pallas(
+        pages,
+        pack_channel_planes(ok.transpose(1, 2, 3, 0)),
+        okp.transpose(1, 2, 3, 0),
+        ov.transpose(1, 2, 0, 3),
+        ovp.transpose(1, 2, 3, 0),
+        jnp.asarray([1], jnp.int32),    # page_a
+        jnp.asarray([2], jnp.int32),    # page_b (crossing)
+        jnp.asarray([0], jnp.int32),    # slot0
+        jnp.asarray([112], jnp.int32),  # o
+        jnp.asarray([112], jnp.int32),  # lo
+        jnp.asarray([144], jnp.int32),  # hi
+        interpret=True,
+    )
+    for name, a, b_ in zip(["kp", "kprm", "vp", "vprm"], pages, want):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b_), err_msg=name
         )

@@ -110,7 +110,7 @@ def test_decode_matches_prefill_continuation():
         jnp.int32(len(prompt)), jnp.int32(0), TINY, SPEC,
     )
     generated = [int(tok)]
-    for _ in range(n_gen - 1):
+    for i in range(n_gen - 1):
         kv.acquire_one()
         table, lens = batch_page_table([kv], 4)
         tok, state = decode_step(
@@ -118,6 +118,7 @@ def test_decode_matches_prefill_continuation():
             jnp.asarray([generated[-1]], jnp.int32),
             jnp.asarray(table), jnp.asarray(lens),
             TINY, SPEC,
+            flush=((i + 1) % 32 == 0),  # the host's ring-wrap cadence
         )
         generated.append(int(tok[0]))
 
