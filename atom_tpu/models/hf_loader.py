@@ -1,0 +1,266 @@
+"""HF checkpoint loading: local safetensors/PyTorch weights -> our pytrees.
+
+The reference loads models with ``AutoModelForCausalLM.from_pretrained``
+(``model/main.py:17-51``); this environment has no network egress, so loading
+works from LOCAL checkpoint directories only (anything
+``transformers``-savable: Llama 1/2, OPT, Mixtral).  Weight orientation: HF
+``nn.Linear`` stores [out, in]; our functional models use [in, out], so every
+matrix transposes on the way in.
+
+Also provides ``pack_calibrated_params``: calibrated fake-quant Llama params
+(reordered + RTN/GPTQ weights + reorder indices) -> the packed serving
+``ServingParams`` consumed by the real-kernel engine, closing the loop from
+the accuracy pipeline to deployment.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from atom_tpu.models.configs import Arch, ModelConfig
+
+
+def _to_np(t) -> np.ndarray:
+    import torch
+
+    if t.dtype == torch.bfloat16:
+        return t.detach().to(torch.float32).numpy()
+    return t.detach().numpy()
+
+
+def _load_state_dict(path: str) -> Dict[str, Any]:
+    """State dict from a local HF checkpoint dir (safetensors or .bin)."""
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(path)
+    return {k: _to_np(v) for k, v in model.state_dict().items()}
+
+
+def config_from_hf(path: str) -> ModelConfig:
+    """ModelConfig from a local HF config.json."""
+    from transformers import AutoConfig
+
+    c = AutoConfig.from_pretrained(path)
+    mt = c.model_type
+    if mt == "llama":
+        return ModelConfig(
+            arch=Arch.LLAMA,
+            vocab_size=c.vocab_size,
+            hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_layers=c.num_hidden_layers,
+            num_heads=c.num_attention_heads,
+            num_kv_heads=getattr(c, "num_key_value_heads", c.num_attention_heads),
+            head_dim=c.hidden_size // c.num_attention_heads,
+            max_position_embeddings=c.max_position_embeddings,
+            rope_theta=getattr(c, "rope_theta", 10000.0),
+            norm_eps=c.rms_norm_eps,
+        )
+    if mt == "opt":
+        return ModelConfig(
+            arch=Arch.OPT,
+            vocab_size=c.vocab_size,
+            hidden_size=c.hidden_size,
+            intermediate_size=c.ffn_dim,
+            num_layers=c.num_hidden_layers,
+            num_heads=c.num_attention_heads,
+            num_kv_heads=c.num_attention_heads,
+            head_dim=c.hidden_size // c.num_attention_heads,
+            max_position_embeddings=c.max_position_embeddings,
+            do_layer_norm_before=c.do_layer_norm_before,
+            tie_word_embeddings=True,
+        )
+    if mt == "mixtral":
+        return ModelConfig(
+            arch=Arch.MIXTRAL,
+            vocab_size=c.vocab_size,
+            hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_layers=c.num_hidden_layers,
+            num_heads=c.num_attention_heads,
+            num_kv_heads=c.num_key_value_heads,
+            head_dim=c.hidden_size // c.num_attention_heads,
+            max_position_embeddings=c.max_position_embeddings,
+            rope_theta=getattr(c, "rope_theta", 1e6),
+            norm_eps=c.rms_norm_eps,
+            num_experts=c.num_local_experts,
+            num_experts_per_tok=c.num_experts_per_tok,
+        )
+    raise ValueError(f"unsupported model_type {mt!r}")
+
+
+def _stack_layers(layers):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def load_llama_params(path: str, cfg: ModelConfig, dtype=jnp.bfloat16):
+    sd = _load_state_dict(path)
+
+    def w(name):
+        return jnp.asarray(sd[name].T, dtype)  # [in, out]
+
+    def v(name):
+        return jnp.asarray(sd[name], dtype)
+
+    d, qh = cfg.hidden_size, cfg.num_heads * cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "input_ln": v(p + "input_layernorm.weight"),
+            "post_ln": v(p + "post_attention_layernorm.weight"),
+            "wq": w(p + "self_attn.q_proj.weight"),
+            "wk": w(p + "self_attn.k_proj.weight"),
+            "wv": w(p + "self_attn.v_proj.weight"),
+            "wo": w(p + "self_attn.o_proj.weight"),
+            "wgate": w(p + "mlp.gate_proj.weight"),
+            "wup": w(p + "mlp.up_proj.weight"),
+            "wdown": w(p + "mlp.down_proj.weight"),
+            "attn_ln_idx": jnp.arange(d, dtype=jnp.int32),
+            "mlp_ln_idx": jnp.arange(d, dtype=jnp.int32),
+            "attn_out_idx": jnp.arange(qh, dtype=jnp.int32),
+        })
+    lm_head = (
+        w("lm_head.weight") if "lm_head.weight" in sd
+        else jnp.asarray(sd["model.embed_tokens.weight"], dtype).T
+    )
+    return {
+        "embed": v("model.embed_tokens.weight"),
+        "final_norm": v("model.norm.weight"),
+        "lm_head": lm_head,
+        "layers": _stack_layers(layers),
+    }
+
+
+def load_opt_params(path: str, cfg: ModelConfig, dtype=jnp.bfloat16):
+    sd = _load_state_dict(path)
+    pre = "model.decoder."
+
+    def w(name):
+        return jnp.asarray(sd[pre + name].T, dtype)
+
+    def v(name):
+        return jnp.asarray(sd[pre + name], dtype)
+
+    d = cfg.hidden_size
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}."
+        layers.append({
+            "attn_ln_w": v(p + "self_attn_layer_norm.weight"),
+            "attn_ln_b": v(p + "self_attn_layer_norm.bias"),
+            "final_ln_w": v(p + "final_layer_norm.weight"),
+            "final_ln_b": v(p + "final_layer_norm.bias"),
+            "wq": w(p + "self_attn.q_proj.weight"),
+            "bq": v(p + "self_attn.q_proj.bias"),
+            "wk": w(p + "self_attn.k_proj.weight"),
+            "bk": v(p + "self_attn.k_proj.bias"),
+            "wv": w(p + "self_attn.v_proj.weight"),
+            "bv": v(p + "self_attn.v_proj.bias"),
+            "wo": w(p + "self_attn.out_proj.weight"),
+            "bo": v(p + "self_attn.out_proj.bias"),
+            "fc1_w": w(p + "fc1.weight"),
+            "fc1_b": v(p + "fc1.bias"),
+            "fc2_w": w(p + "fc2.weight"),
+            "fc2_b": v(p + "fc2.bias"),
+            "attn_ln_idx": jnp.arange(d, dtype=jnp.int32),
+            "mlp_ln_idx": jnp.arange(d, dtype=jnp.int32),
+            "attn_out_idx": jnp.arange(d, dtype=jnp.int32),
+        })
+    return {
+        "embed": v("embed_tokens.weight"),
+        "pos_embed": v("embed_positions.weight"),
+        "final_ln_w": v("final_layer_norm.weight"),
+        "final_ln_b": v("final_layer_norm.bias"),
+        "layers": _stack_layers(layers),
+    }
+
+
+def load_mixtral_params(path: str, cfg: ModelConfig, dtype=jnp.bfloat16):
+    sd = _load_state_dict(path)
+
+    def w(name):
+        return jnp.asarray(sd[name].T, dtype)
+
+    def v(name):
+        return jnp.asarray(sd[name], dtype)
+
+    d, qh = cfg.hidden_size, cfg.num_heads * cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        moe = p + "block_sparse_moe."
+        layers.append({
+            "input_ln": v(p + "input_layernorm.weight"),
+            "post_ln": v(p + "post_attention_layernorm.weight"),
+            "wq": w(p + "self_attn.q_proj.weight"),
+            "wk": w(p + "self_attn.k_proj.weight"),
+            "wv": w(p + "self_attn.v_proj.weight"),
+            "wo": w(p + "self_attn.o_proj.weight"),
+            "router": w(moe + "gate.weight"),
+            "w1": jnp.stack([
+                w(moe + f"experts.{e}.w1.weight") for e in range(cfg.num_experts)
+            ]),
+            "w3": jnp.stack([
+                w(moe + f"experts.{e}.w3.weight") for e in range(cfg.num_experts)
+            ]),
+            "w2": jnp.stack([
+                w(moe + f"experts.{e}.w2.weight") for e in range(cfg.num_experts)
+            ]),
+            "attn_ln_idx": jnp.arange(d, dtype=jnp.int32),
+            "mlp_ln_idx": jnp.arange(d, dtype=jnp.int32),
+            "attn_out_idx": jnp.arange(qh, dtype=jnp.int32),
+        })
+    return {
+        "embed": v("model.embed_tokens.weight"),
+        "final_norm": v("model.norm.weight"),
+        "lm_head": w("lm_head.weight"),
+        "layers": _stack_layers(layers),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Calibrated fake-quant Llama -> packed serving weights
+# ---------------------------------------------------------------------------
+
+
+def pack_calibrated_params(params, cfg: ModelConfig, spec):
+    """Calibrated (reordered, weight-quantized) Llama accuracy-pipeline params
+    -> ``serving.model.ServingParams``.
+
+    The fake-quant weights are already ROUNDED to the quantization grid, so
+    re-deriving codes with the same RTN scale recovers them exactly (GPTQ
+    included: its output values sit on the same per-group grid).  Reorder
+    indices transfer as-is; q/k/v and gate/up fuse into the wide serving
+    GEMMs.
+    """
+    from atom_tpu.ops.formats import pack_for_kernel, quantize_weight_packed
+    from atom_tpu.serving.model import ServingLayerParams, ServingParams
+
+    def packed(w):
+        return pack_for_kernel(quantize_weight_packed(w, spec))
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        layers.append(ServingLayerParams(
+            ln_attn=lp["input_ln"].astype(jnp.bfloat16),
+            ln_mlp=lp["post_ln"].astype(jnp.bfloat16),
+            attn_reorder=lp["attn_ln_idx"],
+            o_reorder=lp["attn_out_idx"],
+            mlp_reorder=lp["mlp_ln_idx"],
+            wqkv=packed(jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=1)),
+            wo=packed(lp["wo"]),
+            wgateup=packed(jnp.concatenate([lp["wgate"], lp["wup"]], axis=1)),
+            wdown=packed(lp["wdown"]),
+        ))
+    return ServingParams(
+        embed=params["embed"].astype(jnp.bfloat16),
+        final_norm=params["final_norm"].astype(jnp.bfloat16),
+        lm_head=params["lm_head"].astype(jnp.bfloat16),
+        layers=layers,
+    )

@@ -372,3 +372,12 @@ def quantize_weights_rtn(params: Params, cfg: ModelConfig, spec: QuantSpec) -> P
             params, i, quantize_layer_weights_rtn(get_layer(params, i), spec)
         )
     return params
+
+
+def load_hf_params(path: str, cfg: ModelConfig, dtype=None):
+    """Local HF checkpoint -> this module's params (see models.hf_loader)."""
+    import jax.numpy as jnp
+
+    from atom_tpu.models.hf_loader import load_llama_params
+
+    return load_llama_params(path, cfg, dtype or jnp.bfloat16)

@@ -332,3 +332,12 @@ def gptq_apply(lp: Params, hessians: Dict[str, jnp.ndarray], quantize_fn) -> Par
             ]
         )
     return lp
+
+
+def load_hf_params(path: str, cfg: ModelConfig, dtype=None):
+    """Local HF checkpoint -> this module's params (see models.hf_loader)."""
+    import jax.numpy as jnp
+
+    from atom_tpu.models.hf_loader import load_mixtral_params
+
+    return load_mixtral_params(path, cfg, dtype or jnp.bfloat16)

@@ -261,3 +261,12 @@ def gptq_apply(lp: Params, hessians: Dict[str, jnp.ndarray], quantize_fn) -> Par
         for wname in wnames:
             lp[wname] = quantize_fn(lp[wname].T, hessians[tapname]).T
     return lp
+
+
+def load_hf_params(path: str, cfg: ModelConfig, dtype=None):
+    """Local HF checkpoint -> this module's params (see models.hf_loader)."""
+    import jax.numpy as jnp
+
+    from atom_tpu.models.hf_loader import load_opt_params
+
+    return load_opt_params(path, cfg, dtype or jnp.bfloat16)
