@@ -69,14 +69,17 @@ def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32):
     )._replace(flushed=jnp.full((batch,), ctx, jnp.int32))
     state = [mstate, jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
 
-    def run(n):
+    from atom_tpu.ops.kv_hot import HOT_W
+
+    def run(n):  # n = ring WINDOWS of HOT_W steps each
         ids, st, lens = decode_burst(
             params, state[0], state[1], table, state[2], jnp.int32(n), cfg, spec
         )
         state[0], state[1], state[2] = st, ids, lens
         return float(jnp.sum(ids))
 
-    return _slope_tok_s(run, batch, n_steps)
+    tok_s, per_window = _slope_tok_s(run, batch * HOT_W, n_steps // HOT_W + 1)
+    return tok_s, per_window / HOT_W
 
 
 def _slope_tok_s(run, batch, n_hi):

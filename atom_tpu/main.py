@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calib_samples", type=int, default=16)
     p.add_argument("--seqlen", type=int, default=0, help="0 = model default")
     p.add_argument("--eval_ppl", action="store_true")
+    p.add_argument("--eval_common_sense", action="store_true")
+    p.add_argument("--zs_tasks", nargs="*",
+                   default=["piqa", "arc_easy", "boolq"],
+                   help="zero-shot tasks (synthetic stand-in without HF data)")
+    p.add_argument("--zs_limit", type=int, default=0)
     p.add_argument("--eval_datasets", nargs="*", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hf_path", type=str, default=None,
@@ -197,6 +202,36 @@ def main(argv=None):
             print(f"eval {name} in {time.time() - t0:.1f}s", flush=True)
             # the reference's grep-able metric line (model/main.py:278)
             print(f"targetResult,{name},{ppl:.6f}", flush=True)
+
+    if args.eval_common_sense:
+        import functools
+
+        from atom_tpu.utils.zeroshot import (
+            evaluate_multiple_choice,
+            hf_task_examples,
+            synthetic_task,
+        )
+
+        fwd = jax.jit(lambda i: m.forward(params, i, cfg, spec))
+        tokenizer = None
+        if args.hf_path:
+            try:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(args.hf_path)
+            except Exception:
+                tokenizer = None
+        for task in args.zs_tasks:
+            try:
+                if tokenizer is None:
+                    raise RuntimeError("no tokenizer; synthetic stand-in")
+                examples = hf_task_examples(task, tokenizer, limit=args.zs_limit)
+            except Exception as e:
+                print(f"[warn] {task}: {e}", file=sys.stderr)
+                examples = synthetic_task(cfg.vocab_size, n_examples=8)
+            res = evaluate_multiple_choice(fwd, examples)
+            # the reference greps "INFO <task> : <acc>" (run_atom_zeroshot_acc.sh:28-35)
+            print(f"INFO {task} : acc {res['acc']:.4f} (n={res['n']})", flush=True)
 
 
 if __name__ == "__main__":

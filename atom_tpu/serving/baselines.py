@@ -105,24 +105,25 @@ def init_bf16_params(key, cfg: ModelConfig) -> Bf16Params:
     )
 
 
-def _dense_decode_attention(q, kv: DenseKV, seq_lens, cfg, rope_theta):
-    """q [B, Hq, Dh]; dense causal attention over the ring buffer."""
+def _dense_decode_attention(q, kv: DenseKV, seq_lens, cfg):
+    """q [B, Hq, Dh]; dense causal attention over the ring buffer.
+
+    K is stored POST-RoPE (rotated once at append, like the W4A4 stack), so
+    the per-step work is two bf16 MXU einsums + an f32 softmax — the
+    strongest simple dense-cache baseline."""
     b, hq, dh = q.shape
     max_t = kv.k.shape[1]
-    positions = jnp.arange(max_t)
-    cos, sin = rope_tables(positions, dh, rope_theta)  # [T, Dh]
-    k = apply_rope(
-        kv.k.astype(jnp.float32), cos[None, :, None, :], sin[None, :, None, :]
-    )
-    k = repeat_kv(k.transpose(0, 2, 1, 3), cfg.kv_groups)  # [B, Hq, T, Dh]
-    v = repeat_kv(
-        kv.v.astype(jnp.float32).transpose(0, 2, 1, 3), cfg.kv_groups
-    )
-    scores = jnp.einsum("bhd,bhtd->bht", q.astype(jnp.float32), k) * (dh ** -0.5)
-    mask = positions[None, None, :] < seq_lens[:, None, None]
+    k = repeat_kv(kv.k.transpose(0, 2, 1, 3), cfg.kv_groups)  # [B, Hq, T, Dh]
+    v = repeat_kv(kv.v.transpose(0, 2, 1, 3), cfg.kv_groups)
+    scores = jnp.einsum(
+        "bhd,bhtd->bht", q, k, preferred_element_type=jnp.float32
+    ) * (dh ** -0.5)
+    mask = jnp.arange(max_t)[None, None, :] < seq_lens[:, None, None]
     scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bht,bhtd->bhd", probs, v).astype(jnp.bfloat16)
+    probs = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+    return jnp.einsum(
+        "bht,bhtd->bhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
 
 
 def _decode_layer_common(x, lp, matmul, kv, seq_lens, cfg):
@@ -138,13 +139,14 @@ def _decode_layer_common(x, lp, matmul, kv, seq_lens, cfg):
     k_new = matmul(h, lp.wk).reshape(b, cfg.num_kv_heads, dh)
     v_new = matmul(h, lp.wv).reshape(b, cfg.num_kv_heads, dh)
     q = apply_rope(q, cos[:, None, :], sin[:, None, :])
-    # append at seq_lens - 1 (K stored pre-RoPE, rotated in attention)
+    k_new = apply_rope(k_new, cos[:, None, :], sin[:, None, :])
+    # append at seq_lens - 1 (K stored post-RoPE)
     bidx = jnp.arange(b)
     kv = DenseKV(
         kv.k.at[bidx, pos].set(k_new.astype(kv.k.dtype)),
         kv.v.at[bidx, pos].set(v_new.astype(kv.v.dtype)),
     )
-    attn = _dense_decode_attention(q, kv, seq_lens, cfg, cfg.rope_theta)
+    attn = _dense_decode_attention(q, kv, seq_lens, cfg)
     x = x + matmul(attn.reshape(b, -1), lp.wo)
     h = rmsnorm(x, lp.ln_mlp, cfg.norm_eps)
     g = matmul(h, lp.wgate)
@@ -163,13 +165,15 @@ def _bf16_matmul(x, w):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kvs",))
 def bf16_decode_step(params: Bf16Params, kvs, ids, seq_lens, cfg: ModelConfig):
-    x = params.embed[ids].astype(jnp.bfloat16)
+    from atom_tpu.serving.model import _embed_lookup, _lm_head_logits
+
+    x = _embed_lookup(params.embed, ids)
     new_kvs = []
     for lp, kv in zip(params.layers, kvs):
         x, kv = _decode_layer_common(x, lp, _bf16_matmul, kv, seq_lens, cfg)
         new_kvs.append(kv)
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
-    logits = x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32)
+    logits = _lm_head_logits(x, params.lm_head)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_kvs
 
 
@@ -256,13 +260,15 @@ def _w8a8_matmul(x, w: W8Weight):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kvs",))
 def w8a8_decode_step(params: W8Params, kvs, ids, seq_lens, cfg: ModelConfig):
-    x = params.embed[ids].astype(jnp.bfloat16)
+    from atom_tpu.serving.model import _embed_lookup, _lm_head_logits
+
+    x = _embed_lookup(params.embed, ids)
     new_kvs = []
     for lp, kv in zip(params.layers, kvs):
         x, kv = _decode_layer_common(x, lp, _w8a8_matmul, kv, seq_lens, cfg)
         new_kvs.append(kv)
     x = rmsnorm(x, params.final_norm, cfg.norm_eps)
-    logits = x.astype(jnp.float32) @ params.lm_head.astype(jnp.float32)
+    logits = _lm_head_logits(x, params.lm_head)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_kvs
 
 
