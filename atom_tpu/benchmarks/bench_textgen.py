@@ -78,7 +78,7 @@ def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32):
         state[0], state[1], state[2] = st, ids, lens
         return float(jnp.sum(ids))
 
-    tok_s, per_window = _slope_tok_s(run, batch * HOT_W, n_steps // HOT_W + 1)
+    tok_s, per_window = _slope_tok_s(run, batch * HOT_W, max(n_steps // HOT_W, 2) + 2)
     return tok_s, per_window / HOT_W
 
 
