@@ -5,23 +5,25 @@ every arrangement measured (XLA scatter copies the whole pool; per-token DUS
 burns ~25us/token in loop overhead; aliased Pallas RMW serializes).  So the
 decode path never touches pages per token:
 
-  * every decode step writes ALL sequences' new (K, V, params) into row
-    ``step % W`` of a small dense ring — ONE scalar-indexed
-    dynamic-update-slice, in place, ~1us;
+  * every decode step writes ALL sequences' new (K, V, params) into ring row
+    ``step % W`` — one scalar-indexed dynamic-update-slice per array, in
+    place;
   * attention = the paged Pallas kernel over the FLUSHED prefix (returning
-    its online-softmax state) softmax-MERGED with a dense jnp attention over
-    the ring's valid suffix;
-  * every ``W`` positions a sequence's ring contents flush to its page as one
-    32-slot-aligned bulk write (``pallas_decode.flush_hot_pallas``) — W | S/2,
-    so a flush block always lands in a single nibble half of a single page.
+    its online-softmax state) softmax-MERGED with a dense attention over the
+    ring's valid suffix;
+  * once per ring wrap every sequence's pending block flushes to its page(s)
+    in bulk (``pallas_decode.flush_hot_pallas``).
 
-The ring is GLOBAL-step indexed (all active sequences append every decode
-step), so per-sequence ring row r holds the token at position
-``lens_b - 1 - ((row_now - r) mod W)``.
+Layouts are chosen for the READ side (the dense attention runs every step,
+the flush once per W): codes sit in attention-natural ``[B, H, W, D]`` (the
+ring row is a sublane-axis scalar DUS — no lane-rotation trap), params in
+``[B, W, 2, H]`` (row 0 = scale, row 1 = zero_val; the head axis stays last
+so tensor parallelism shards it).  The dense
+attention uses the same affine-code trick as the paged kernel — K/V codes are
+never dequantized.
 
-W = 32: ring footprint per layer is ~9 MB at batch 32 (read each step by the
-dense attention — the cost that bounds W from above), and flush cost amortizes
-to ~2 MB/step (bounding W from below).
+W = 32: ring footprint per layer ~9 MB at batch 32 (read each step — bounds W
+from above) while flush cost amortizes to ~2 MB/step (bounds W from below).
 """
 from __future__ import annotations
 
@@ -38,22 +40,22 @@ HOT_W = 32
 class HotKV(NamedTuple):
     """Dense decode ring for one layer.  Codes are u4 values in int8."""
 
-    k_codes: jnp.ndarray   # int8 [W, B, H, D]
-    k_params: jnp.ndarray  # f32  [W, B, H, 2]
-    v_codes: jnp.ndarray   # int8 [W, B, H, D]
-    v_params: jnp.ndarray  # f32  [W, B, H, 2]
+    k_codes: jnp.ndarray   # int8 [B, H, W, D]
+    k_prm: jnp.ndarray     # f32  [B, W, 2, H]  (scale row, zero_val row)
+    v_codes: jnp.ndarray   # int8 [B, H, W, D]
+    v_prm: jnp.ndarray     # f32  [B, W, 2, H]
 
     @property
     def window(self) -> int:
-        return self.k_codes.shape[0]
+        return self.k_codes.shape[2]
 
 
 def make_hot(batch: int, kv_heads: int, head_dim: int, w: int = HOT_W) -> HotKV:
     return HotKV(
-        k_codes=jnp.zeros((w, batch, kv_heads, head_dim), jnp.int8),
-        k_params=jnp.zeros((w, batch, kv_heads, 2), jnp.float32),
-        v_codes=jnp.zeros((w, batch, kv_heads, head_dim), jnp.int8),
-        v_params=jnp.zeros((w, batch, kv_heads, 2), jnp.float32),
+        k_codes=jnp.zeros((batch, kv_heads, w, head_dim), jnp.int8),
+        k_prm=jnp.zeros((batch, w, 2, kv_heads), jnp.float32),
+        v_codes=jnp.zeros((batch, kv_heads, w, head_dim), jnp.int8),
+        v_prm=jnp.zeros((batch, w, 2, kv_heads), jnp.float32),
     )
 
 
@@ -61,16 +63,20 @@ def write_hot(hot: HotKV, row: jnp.ndarray, k: KVQuant, v: KVQuant) -> HotKV:
     """Write this step's tokens into ring row ``row`` (scalar) — one in-place
     DUS per array."""
 
-    def dus(buf, val):
+    def dus_codes(buf, codes):
         return jax.lax.dynamic_update_slice(
-            buf, val[None].astype(buf.dtype), (row, 0, 0, 0)
+            buf, codes[:, :, None, :].astype(buf.dtype), (0, 0, row, 0)
         )
 
+    def dus_prm(buf, params):  # params [B, H, 2] -> row [B, 1, 2, H]
+        val = jnp.swapaxes(params, 1, 2)[:, None]
+        return jax.lax.dynamic_update_slice(buf, val, (0, row, 0, 0))
+
     return HotKV(
-        k_codes=dus(hot.k_codes, k.codes),
-        k_params=dus(hot.k_params, k.params),
-        v_codes=dus(hot.v_codes, v.codes),
-        v_params=dus(hot.v_params, v.params),
+        k_codes=dus_codes(hot.k_codes, k.codes),
+        k_prm=dus_prm(hot.k_prm, k.params),
+        v_codes=dus_codes(hot.v_codes, v.codes),
+        v_prm=dus_prm(hot.v_prm, v.params),
     )
 
 
@@ -81,20 +87,29 @@ def hot_attention(
     row_now: jnp.ndarray,  # int32 scalar — ring row of the CURRENT token
     sm_scale: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dense attention over the ring suffix -> (out [B,HQ,D] f32 unnormalized
-    by l, m [B,HQ], l [B,HQ]) for softmax-merging with the paged kernel."""
-    w, b, h, d = hot.k_codes.shape
+    """Dense attention over the ring suffix -> (out [B,HQ,D] f32 UNNORMALIZED,
+    m [B,HQ], l [B,HQ]) for softmax-merging with the paged kernel.
+
+    Affine-code math (codes never dequantized):
+        q.k = (q.codes) * scale + (sum q) * zero
+        p.v = (p * vscale).codes + rowsum(p * vzero)
+    """
+    b, h, w, d = hot.k_codes.shape
     hq = q.shape[1]
     groups = hq // h
+    qf = q.astype(jnp.float32)
 
-    k = hot.k_codes.astype(jnp.float32) * hot.k_params[..., 0:1] + hot.k_params[..., 1:2]
-    v = hot.v_codes.astype(jnp.float32) * hot.v_params[..., 0:1] + hot.v_params[..., 1:2]
-    k = jnp.repeat(k, groups, axis=2)  # [W, B, HQ, D]
-    v = jnp.repeat(v, groups, axis=2)
+    def rep(x):  # [B, H, ...] -> [B, HQ, ...]
+        return jnp.repeat(x, groups, axis=1) if groups > 1 else x
 
-    scores = jnp.einsum(
-        "bhd,wbhd->bhw", q.astype(jnp.float32), k
-    ) * sm_scale  # [B, HQ, W]
+    k_scale = rep(hot.k_prm[:, :, 0].transpose(0, 2, 1))   # [B, HQ, W]
+    k_zero = rep(hot.k_prm[:, :, 1].transpose(0, 2, 1))
+    dot = jnp.einsum(
+        "bhd,bhwd->bhw", qf, rep(hot.k_codes.astype(jnp.float32))
+    )
+    q_sum = jnp.sum(qf, axis=-1, keepdims=True)  # [B, HQ, 1]
+    scores = (dot * k_scale + q_sum * k_zero) * sm_scale  # [B, HQ, W]
+
     rows = jnp.arange(w)
     age = (row_now - rows) % w  # ring age of each row (0 = current token)
     valid = age[None, :] < n_valid[:, None]  # [B, W]
@@ -103,7 +118,13 @@ def hot_attention(
     m = jnp.max(scores, axis=-1)  # [B, HQ]
     p = jnp.where(valid[:, None, :], jnp.exp(scores - m[..., None]), 0.0)
     l = jnp.sum(p, axis=-1)
-    out = jnp.einsum("bhw,wbhd->bhd", p, v)  # unnormalized
+
+    v_scale = rep(hot.v_prm[:, :, 0].transpose(0, 2, 1))
+    v_zero = rep(hot.v_prm[:, :, 1].transpose(0, 2, 1))
+    out = jnp.einsum(
+        "bhw,bhwd->bhd", p * v_scale, rep(hot.v_codes.astype(jnp.float32))
+    )
+    out = out + jnp.sum(p * v_zero, axis=-1, keepdims=True)
     return out, m, l
 
 
@@ -124,3 +145,23 @@ def merge_attention(
     l = jnp.maximum(l, 1e-20)
     out = (out1.astype(jnp.float32) * a1[..., None] + out2 * a2[..., None]) / l[..., None]
     return out.astype(out_dtype)
+
+
+def hot_flush_blocks(hot: HotKV, row_now: jnp.ndarray):
+    """Ring contents in POSITION order, shaped for ``flush_hot_pallas``:
+    (k_flush [B,H,D/2,W] channel-packed, k_prm [B,H,2,W],
+     v_flush [B,H,W,D] unpacked, v_prm [B,H,2,W])."""
+    from atom_tpu.ops.kv_layout import pack_channel_planes
+
+    b, h, w, d = hot.k_codes.shape
+    shift = -(row_now + 1)
+    ok = jnp.roll(hot.k_codes, shift, axis=2)   # [B, H, W, D]
+    ov = jnp.roll(hot.v_codes, shift, axis=2)
+    okp = jnp.roll(hot.k_prm, shift, axis=1)    # [B, W, 2, H]
+    ovp = jnp.roll(hot.v_prm, shift, axis=1)
+
+    def prm(p):  # [B, W, 2, H] -> [B, H, 2, W]
+        return p.transpose(0, 3, 2, 1)
+
+    k_flush = pack_channel_planes(jnp.swapaxes(ok, 2, 3))  # [B, H, D/2, W]
+    return k_flush, prm(okp), ov, prm(ovp)

@@ -47,6 +47,7 @@ from atom_tpu.ops.kv_hot import (
     HOT_W,
     HotKV,
     hot_attention,
+    hot_flush_blocks,
     make_hot,
     merge_attention,
     write_hot,
@@ -302,17 +303,9 @@ def decode_hidden(
         new_hot.append(hot_l)
 
         if flush:
-            # Ring rows in position order (oldest first): roll by -(row + 1).
-            ok = jnp.roll(hot_l.k_codes, -(row + 1), axis=0)  # [W, B, H, D]
-            okp = jnp.roll(hot_l.k_params, -(row + 1), axis=0)
-            ov = jnp.roll(hot_l.v_codes, -(row + 1), axis=0)
-            ovp = jnp.roll(hot_l.v_params, -(row + 1), axis=0)
             pg = flush_hot_pallas(
                 state.pages[l],
-                pack_channel_planes(ok.transpose(1, 2, 3, 0)),  # [B,H,D/2,W]
-                okp.transpose(1, 2, 3, 0),                      # [B,H,2,W]
-                ov.transpose(1, 2, 0, 3),                       # [B,H,W,D]
-                ovp.transpose(1, 2, 3, 0),
+                *hot_flush_blocks(hot_l, row),
                 pg_a, pg_b, slot0, o_lane, lo, hi,
             )
         else:

@@ -143,18 +143,27 @@ def make_state_sharded(
     state = make_serving_state(
         n_layers, n_pages, batch, kv_heads, page_size, head_dim
     )
-    pg_shd = NamedSharding(mesh, P(None, axis))       # [P, H, ...]
-    hot_shd = NamedSharding(mesh, P(None, None, axis))  # [W, B, H, ...]
+    pg_shd = NamedSharding(mesh, P(None, axis))        # [P, H, ...]
+    hotc_shd = NamedSharding(mesh, P(None, axis))      # codes [B, H, W, D]
+    hotp_shd = NamedSharding(mesh, P(None, None, None, axis))  # [B, W, 2, H]
     rep = NamedSharding(mesh, P())
+
+    def place_hot(h):
+        from atom_tpu.ops.kv_hot import HotKV
+
+        return HotKV(
+            k_codes=jax.device_put(h.k_codes, hotc_shd),
+            k_prm=jax.device_put(h.k_prm, hotp_shd),
+            v_codes=jax.device_put(h.v_codes, hotc_shd),
+            v_prm=jax.device_put(h.v_prm, hotp_shd),
+        )
+
     return ServingState(
         pages=[
             jax.tree.map(lambda x: jax.device_put(x, pg_shd), pg)
             for pg in state.pages
         ],
-        hot=[
-            jax.tree.map(lambda x: jax.device_put(x, hot_shd), h)
-            for h in state.hot
-        ],
+        hot=[place_hot(h) for h in state.hot],
         row=jax.device_put(state.row, rep),
         flushed=jax.device_put(state.flushed, rep),
     )
@@ -226,8 +235,8 @@ def make_tp_step_fns(
         ],
         hot=[
             HotKV(
-                P(None, None, axis), P(None, None, axis),
-                P(None, None, axis), P(None, None, axis),
+                P(None, axis), P(None, None, None, axis),
+                P(None, axis), P(None, None, None, axis),
             )
             for _ in range(cfg.num_layers)
         ],

@@ -142,11 +142,11 @@ def test_flush_hot_pallas_and_hot_attention():
     tokens; hot attention + merge == full attention oracle."""
     from atom_tpu.ops.kv_hot import (
         hot_attention,
+        hot_flush_blocks,
         make_hot,
         merge_attention,
         write_hot,
     )
-    from atom_tpu.ops.kv_layout import pack_channel_planes
 
     kv_heads, d, w = 2, HEAD_DIM, 32
     batch = 2
@@ -192,16 +192,9 @@ def test_flush_hot_pallas_and_hot_attention():
         hot = write_hot(hot, jnp.int32(j % w), kj, vj)
 
     row_now = jnp.int32(w - 1)
-    ok = jnp.roll(hot.k_codes, -(row_now + 1), axis=0)
-    okp = jnp.roll(hot.k_params, -(row_now + 1), axis=0)
-    ov = jnp.roll(hot.v_codes, -(row_now + 1), axis=0)
-    ovp = jnp.roll(hot.v_params, -(row_now + 1), axis=0)
     pages = flush_hot_pallas(
         pages,
-        pack_channel_planes(ok.transpose(1, 2, 3, 0)),
-        okp.transpose(1, 2, 3, 0),
-        ov.transpose(1, 2, 0, 3),
-        ovp.transpose(1, 2, 3, 0),
+        *hot_flush_blocks(hot, row_now),
         jnp.asarray([1, 2], jnp.int32),   # page_a
         jnp.asarray([0, 0], jnp.int32),   # page_b (no crossing)
         jnp.asarray([0, 0], jnp.int32),   # slot0
@@ -242,8 +235,7 @@ def test_flush_hot_pallas_and_hot_attention():
 
 def test_flush_crossing_page_boundary():
     """A flush block spanning two pages lands correctly via the two passes."""
-    from atom_tpu.ops.kv_hot import make_hot, write_hot
-    from atom_tpu.ops.kv_layout import pack_channel_planes
+    from atom_tpu.ops.kv_hot import hot_flush_blocks, make_hot, write_hot
 
     kv_heads, d, w = 2, HEAD_DIM, 32
     n_pages = 4
@@ -272,17 +264,10 @@ def test_flush_crossing_page_boundary():
             R.KVQuant(vq.codes[112 + j][None], vq.params[112 + j][None]),
         )
     row_now = jnp.int32(w - 1)
-    ok = jnp.roll(hot.k_codes, -(row_now + 1), axis=0)
-    okp = jnp.roll(hot.k_params, -(row_now + 1), axis=0)
-    ov = jnp.roll(hot.v_codes, -(row_now + 1), axis=0)
-    ovp = jnp.roll(hot.v_params, -(row_now + 1), axis=0)
     # lens=144, W=32: page_lo = 112 // 128 = 0, slot0 = 0, o = 112
     pages = flush_hot_pallas(
         pages,
-        pack_channel_planes(ok.transpose(1, 2, 3, 0)),
-        okp.transpose(1, 2, 3, 0),
-        ov.transpose(1, 2, 0, 3),
-        ovp.transpose(1, 2, 3, 0),
+        *hot_flush_blocks(hot, row_now),
         jnp.asarray([1], jnp.int32),    # page_a
         jnp.asarray([2], jnp.int32),    # page_b (crossing)
         jnp.asarray([0], jnp.int32),    # slot0
