@@ -280,3 +280,13 @@ def test_flush_crossing_page_boundary():
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b_), err_msg=name
         )
+
+def test_embed_gather_matches_take():
+    from atom_tpu.ops.pallas_misc import embed_gather
+
+    key = jax.random.PRNGKey(0)
+    embed = jax.random.normal(key, (64, 256), jnp.bfloat16)
+    ids = jnp.asarray([0, 7, 8, 63, 33, 33, 15, 9], jnp.int32)
+    got = embed_gather(embed, ids, interpret=True)
+    want = jnp.take(embed, ids, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
