@@ -96,8 +96,10 @@ def burst_throughput_baseline(cfg, batch, ctx, kind, n_steps=32):
     from atom_tpu.serving.baselines import (
         bf16_decode_burst,
         init_bf16_params,
+        init_w4a16_params,
         init_w8_params,
         make_dense_kv,
+        w4a16_decode_burst,
         w8a8_decode_burst,
     )
 
@@ -106,6 +108,9 @@ def burst_throughput_baseline(cfg, batch, ctx, kind, n_steps=32):
     if kind == "bf16":
         params = init_bf16_params(jax.random.PRNGKey(0), cfg)
         burst = bf16_decode_burst
+    elif kind == "w4a16":
+        params = init_w4a16_params(jax.random.PRNGKey(0), cfg)
+        burst = w4a16_decode_burst
     else:
         params = init_w8_params(jax.random.PRNGKey(0), cfg)
         burst = w8a8_decode_burst
@@ -152,7 +157,8 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=512)
-    ap.add_argument("--stacks", nargs="*", default=["w4a4", "bf16", "w8a8"])
+    ap.add_argument("--stacks", nargs="*",
+                    default=["w4a4", "bf16", "w8a8", "w4a16"])
     ap.add_argument("--engine", action="store_true")
     ap.add_argument("--requests", type=int, default=64)
     args = ap.parse_args(argv)
@@ -183,7 +189,7 @@ def main(argv=None):
             flush=True,
         )
     if "w4a4" in results:
-        for base in ("bf16", "w8a8"):
+        for base in ("bf16", "w8a8", "w4a16"):
             if base in results:
                 print(f"w4a4 vs {base}: {results['w4a4']/results[base]:.2f}x")
 

@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: weight-only INT4 GEMM with bf16 activations (W4A16).
+
+The AWQ-baseline analog (the reference benches ``e2e/punica-awq``'s
+``gemm_forward``): weights stream from HBM as 4-bit nibble planes, unpack to
+f32 codes in VMEM, and the per-128-group scale applies to the f32 partial
+sums — activations stay full precision.  This is the memory-bound win of
+weight-only quantization without Atom's activation quantization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128
+HALF = GROUP // 2
+
+
+class W4A16Weight(NamedTuple):
+    """Nibble-plane packed weight-only-quantized matrix.
+
+    ``packed``: int8 [K/2, N] — per 128-group, byte row r holds code rows
+    ``g*128 + r`` (low nibble) and ``g*128 + 64 + r`` (high);
+    ``scale``: f32 [K/128, N].
+    """
+
+    packed: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def quantize_w4a16(w: jnp.ndarray) -> W4A16Weight:
+    """Symmetric per-128-group INT4 quantization of a [K, N] weight."""
+    k, n = w.shape
+    assert k % GROUP == 0
+    ng = k // GROUP
+    g = w.astype(jnp.float32).reshape(ng, GROUP, n)
+    scale = jnp.maximum(jnp.max(jnp.abs(g), axis=1), 1e-8) / 7.0  # [ng, n]
+    codes = jnp.clip(jnp.round(g / scale[:, None, :]), -8, 7).astype(jnp.int8)
+    lo = codes[:, :HALF].astype(jnp.uint8) & 0x0F
+    hi = codes[:, HALF:].astype(jnp.uint8) & 0x0F
+    packed = (lo | (hi << 4)).astype(jnp.int8).reshape(k // 2, n)
+    return W4A16Weight(packed=packed, scale=scale)
+
+
+def dequantize_w4a16(wq: W4A16Weight) -> jnp.ndarray:
+    half, n = wq.packed.shape
+    ng = half // HALF
+    pb = wq.packed.reshape(ng, HALF, n).astype(jnp.int32)
+    lo = ((pb << 28) >> 28).astype(jnp.float32)
+    hi = (pb >> 4).astype(jnp.float32)
+    codes = jnp.concatenate([lo, hi], axis=1)  # [ng, GROUP, n]
+    return (codes * wq.scale[:, None, :]).reshape(ng * GROUP, n)
+
+
+def _w4a16_kernel(a_ref, wp_ref, sw_ref, out_ref, *, ng: int):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    a = a_ref[:].astype(jnp.float32)
+    for g in range(ng):
+        pb = wp_ref[g * HALF : (g + 1) * HALF, :].astype(jnp.int32)
+        w_lo = ((pb << 28) >> 28).astype(jnp.float32)  # sign-extended
+        w_hi = (pb >> 4).astype(jnp.float32)
+        acc_g = jax.lax.dot_general(
+            a[:, g * GROUP : g * GROUP + HALF], w_lo,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            a[:, g * GROUP + HALF : (g + 1) * GROUP], w_hi,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc += acc_g * sw_ref[g : g + 1, :]
+    out_ref[:] = acc
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "out_dtype", "interpret"))
+def w4a16_gemm(
+    a: jnp.ndarray,  # bf16/f32 [M, K]
+    wq: W4A16Weight,
+    tile_m: int = 256,
+    tile_n: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from atom_tpu.ops.runtime import interpret_default
+
+    interpret = interpret_default(interpret)
+    m, k = a.shape
+    n = wq.packed.shape[1]
+    ng = k // GROUP
+    tm = min(tile_m, _round_up(m, 32))
+    tn = min(tile_n, _round_up(n, 128))
+    pad_m = _round_up(m, tm) - m
+    pad_n = _round_up(n, tn) - n
+    if pad_m:
+        a = jnp.pad(a, ((0, pad_m), (0, 0)))
+    wp, sw = wq.packed, wq.scale
+    if pad_n:
+        wp = jnp.pad(wp, ((0, 0), (0, pad_n)))
+        sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
+    mp, np_ = m + pad_m, n + pad_n
+
+    out = pl.pallas_call(
+        functools.partial(_w4a16_kernel, ng=ng),
+        grid=(mp // tm, np_ // tn),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k // 2, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((ng, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=2 * mp * k + k * np_ // 2 + 4 * mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, wp, sw)
+    return out[:m, :n].astype(out_dtype)

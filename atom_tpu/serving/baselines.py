@@ -13,6 +13,8 @@ ratio measures the quantization scheme, not a handicapped strawman.
   * W8A8:  per-output-channel INT8 weights, dynamic per-token INT8
     activations, int8xint8->int32 MXU dots (XLA-native), bf16 KV — the
     SmoothQuant recipe of ``punica-int8/punica/models/llama.py:51-82``.
+  * W4A16: weight-only group-128 INT4 via the Pallas nibble-plane GEMM with
+    bf16 activations, bf16 KV — the AWQ recipe of ``punica-awq``.
 
 Step functions share the engine's calling convention; the page-table
 arguments are accepted and used only for their seq-len content.
@@ -278,6 +280,79 @@ def w8a8_decode_burst(params, kvs, ids, seq_lens, n_steps, cfg: ModelConfig):
         ids_, kvs_, lens_ = carry
         new_lens = lens_ + 1
         ids_, kvs_ = w8a8_decode_step(params, kvs_, ids_, new_lens, cfg)
+        return ids_, kvs_, new_lens
+
+    return jax.lax.fori_loop(0, n_steps, body, (ids, kvs, seq_lens))
+
+
+# ---------------------------------------------------------------------------
+# W4A16 baseline (AWQ recipe: weight-only INT4, full-precision activations)
+# ---------------------------------------------------------------------------
+
+
+class W4A16Layer(NamedTuple):
+    ln_attn: jnp.ndarray
+    ln_mlp: jnp.ndarray
+    wq: "W4A16Weight"
+    wk: "W4A16Weight"
+    wv: "W4A16Weight"
+    wo: "W4A16Weight"
+    wgate: "W4A16Weight"
+    wup: "W4A16Weight"
+    wdown: "W4A16Weight"
+
+
+class W4A16Params(NamedTuple):
+    embed: jnp.ndarray
+    final_norm: jnp.ndarray
+    lm_head: jnp.ndarray
+    layers: List[W4A16Layer]
+
+
+def init_w4a16_params(key, cfg: ModelConfig) -> W4A16Params:
+    from atom_tpu.ops.pallas_gemm_w4a16 import quantize_w4a16
+
+    bp = init_bf16_params(key, cfg)
+    layers = [
+        W4A16Layer(
+            ln_attn=lp.ln_attn,
+            ln_mlp=lp.ln_mlp,
+            **{
+                f"w{n}": quantize_w4a16(getattr(lp, f"w{n}").astype(jnp.float32))
+                for n in ("q", "k", "v", "o", "gate", "up", "down")
+            },
+        )
+        for lp in bp.layers
+    ]
+    return W4A16Params(bp.embed, bp.final_norm, bp.lm_head, layers)
+
+
+def _w4a16_matmul(x, wq):
+    from atom_tpu.ops.pallas_gemm_w4a16 import w4a16_gemm
+
+    return w4a16_gemm(x.astype(jnp.bfloat16), wq)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kvs",))
+def w4a16_decode_step(params: W4A16Params, kvs, ids, seq_lens, cfg: ModelConfig):
+    from atom_tpu.serving.model import _embed_lookup, _lm_head_logits
+
+    x = _embed_lookup(params.embed, ids)
+    new_kvs = []
+    for lp, kv in zip(params.layers, kvs):
+        x, kv = _decode_layer_common(x, lp, _w4a16_matmul, kv, seq_lens, cfg)
+        new_kvs.append(kv)
+    x = rmsnorm(x, params.final_norm, cfg.norm_eps)
+    logits = _lm_head_logits(x, params.lm_head)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_kvs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kvs",))
+def w4a16_decode_burst(params, kvs, ids, seq_lens, n_steps, cfg: ModelConfig):
+    def body(_, carry):
+        ids_, kvs_, lens_ = carry
+        new_lens = lens_ + 1
+        ids_, kvs_ = w4a16_decode_step(params, kvs_, ids_, new_lens, cfg)
         return ids_, kvs_, new_lens
 
     return jax.lax.fori_loop(0, n_steps, body, (ids, kvs, seq_lens))

@@ -300,31 +300,38 @@ def decode_hidden(
 
     new_pages, new_hot = [], []
     for l, lp in enumerate(params.layers):
-        q, kq, vq = _attn_block_common(
-            x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
-        )
-        hot_l = write_hot(state.hot[l], row, kq, vq)
+      with jax.named_scope(f"layer{l}"):
+        with jax.named_scope("qkv"):
+            q, kq, vq = _attn_block_common(
+                x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
+            )
+        with jax.named_scope("ring_write"):
+            hot_l = write_hot(state.hot[l], row, kq, vq)
         new_hot.append(hot_l)
 
         if flush:
-            pg = flush_hot_pallas(
-                state.pages[l],
-                *hot_flush_blocks(hot_l, row),
-                pg_a, pg_b, slot0, o_lane, lo, hi,
-            )
+            with jax.named_scope("ring_flush"):
+                pg = flush_hot_pallas(
+                    state.pages[l],
+                    *hot_flush_blocks(hot_l, row),
+                    pg_a, pg_b, slot0, o_lane, lo, hi,
+                )
         else:
             pg = state.pages[l]
         new_pages.append(pg)
 
-        out1, m1, l1 = paged_decode_attention_rotated(
-            q, pg, page_table, flushed_new, return_state=True,
-            out_dtype=jnp.float32,  # merge in f32; bf16 only after the merge
-        )
-        out2, m2, l2 = hot_attention(q, hot_l, n_hot, row, sm_scale)
-        attn = merge_attention(out1, m1, l1, out2, m2, l2).reshape(
-            b, cfg.num_heads * dh
-        )
-        x = _post_attn(x, attn, lp, spec, gather)
+        with jax.named_scope("paged_attention"):
+            out1, m1, l1 = paged_decode_attention_rotated(
+                q, pg, page_table, flushed_new, return_state=True,
+                out_dtype=jnp.float32,  # merge in f32; bf16 after the merge
+            )
+        with jax.named_scope("ring_attention"):
+            out2, m2, l2 = hot_attention(q, hot_l, n_hot, row, sm_scale)
+            attn = merge_attention(out1, m1, l1, out2, m2, l2).reshape(
+                b, cfg.num_heads * dh
+            )
+        with jax.named_scope("o_mlp"):
+            x = _post_attn(x, attn, lp, spec, gather)
 
     new_state = ServingState(
         pages=new_pages, hot=new_hot, row=(row + 1) % w, flushed=flushed_new

@@ -111,3 +111,31 @@ def test_bf16_decode_matches_full_attention():
     logits = x[:, -1].astype(jnp.float32) @ params.lm_head.astype(jnp.float32)
     want = np.asarray(jnp.argmax(logits, axis=-1))
     np.testing.assert_array_equal(toks[-1], want)
+
+
+def test_w4a16_gemm_and_burst():
+    from atom_tpu.ops.pallas_gemm_w4a16 import (
+        dequantize_w4a16,
+        quantize_w4a16,
+        w4a16_gemm,
+    )
+    from atom_tpu.serving.baselines import (
+        init_w4a16_params,
+        make_dense_kv,
+        w4a16_decode_burst,
+    )
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (256, 192), jnp.float32) * 0.05
+    wq = quantize_w4a16(w)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256), jnp.bfloat16)
+    got = w4a16_gemm(x, wq, interpret=True).astype(jnp.float32)
+    want = x.astype(jnp.float32) @ dequantize_w4a16(wq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+    params = init_w4a16_params(jax.random.PRNGKey(0), TINY)
+    kvs = make_dense_kv(TINY.num_layers, 4, 64, TINY.num_kv_heads, TINY.head_dim)
+    ids = jnp.ones((4,), jnp.int32)
+    lens = jnp.asarray([3, 5, 1, 7], jnp.int32)
+    tok, kvs, lens2 = w4a16_decode_burst(params, kvs, ids, lens, jnp.int32(3), TINY)
+    np.testing.assert_array_equal(np.asarray(lens2), np.asarray(lens) + 3)
