@@ -232,3 +232,194 @@ def quant_gemm_o4_packed(
     out = quant_gemm_packed(qa, kw, out_dtype=jnp.float32, interpret=interpret)
     m, n = out.shape
     return quantize_kv_asym(out.reshape(m, n // head_dim, head_dim))
+
+
+# ---------------------------------------------------------------------------
+# Fused qkv projection: GEMM + RoPE + per-head asymmetric KV quantization
+# ---------------------------------------------------------------------------
+#
+# The decode hot path's single biggest XLA-op cluster after the GEMMs is the
+# qkv epilogue (slice q/k/v, rope q and k, per-head min/max quantize k and v:
+# ~15 small ops, ~90us/layer of dispatch tax at batch 32).  This variant runs
+# it inside the GEMM's output tiles: the q and k column regions are rotated
+# with per-row cos/sin blocks, and the k/v regions emit u4 codes + per-head
+# (scale, zero_val) directly — the fused-o4 idea of the reference's
+# ``DenseLayerGEMM_i4_o4.cu`` generalized to the whole fused qkv projection.
+#
+# Column regions must be tile-aligned: n_q % tile_n == 0 and n_kv % tile_n
+# == 0 (true for the Llama geometries; callers fall back to the unfused path
+# otherwise).
+
+
+def _gemm_qkv_kernel(
+    cos_ref, sin_ref,  # f32 [tm, head_dim]
+    a_ref, wp_ref, wk_ref, sa_ref, sw_ref,
+    out_ref,    # bf16 [tm, tn] — RoPE'd q (q region; garbage elsewhere)
+    codes_ref,  # int8 [tm, tn] — u4 K/V codes (k/v regions)
+    prm_ref,    # f32 [tm, 128] — lanes 2h / 2h+1 = head h's (scale, zero)
+    *,
+    ng: int,
+    head_dim: int,
+    n_q_tiles: int,
+    n_k_tiles: int,
+):
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(ng):
+        w_lo, w_hi = _unpack_nibbles(wp_ref[g * HALF : (g + 1) * HALF, :])
+        a_lo = a_ref[:, g * GROUP : g * GROUP + HALF]
+        a_hi = a_ref[:, g * GROUP + HALF : (g + 1) * GROUP]
+        acc_g = _DOT_I32(a_lo, w_lo) + _DOT_I32(a_hi, w_hi)
+        acc += (
+            acc_g.astype(jnp.float32)
+            * sa_ref[:, g : g + 1]
+            * sw_ref[g : g + 1, :]
+        )
+    acc_k = _DOT_I32(a_ref[:, ng * GROUP : (ng + 1) * GROUP], wk_ref[:])
+    acc += (
+        acc_k.astype(jnp.float32)
+        * sa_ref[:, ng : ng + 1]
+        * sw_ref[ng : ng + 1, :]
+    )
+
+    j = pl.program_id(1)
+    heads = out_ref.shape[1] // head_dim
+    half = head_dim // 2
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+
+    def roped():
+        parts = []
+        for h in range(heads):
+            blk = acc[:, h * head_dim : (h + 1) * head_dim]
+            rot = jnp.concatenate([-blk[:, half:], blk[:, :half]], axis=1)
+            parts.append(blk * cos + rot * sin)
+        return jnp.concatenate(parts, axis=1)
+
+    def quantize(x):
+        codes_parts, prm = [], jnp.zeros(prm_ref.shape, jnp.float32)
+        for h in range(heads):
+            blk = x[:, h * head_dim : (h + 1) * head_dim]
+            xmax = jnp.max(blk, axis=1, keepdims=True)
+            xmin = jnp.min(blk, axis=1, keepdims=True)
+            scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
+            zero = jnp.clip(jnp.round(-xmin / scale), 0.0, 15.0)
+            codes_parts.append(
+                jnp.clip(jnp.round(blk / scale) + zero, 0.0, 15.0).astype(jnp.int8)
+            )
+            lane = jax.lax.broadcasted_iota(jnp.int32, prm_ref.shape, 1)
+            prm = jnp.where(lane == 2 * h, scale, prm)
+            prm = jnp.where(lane == 2 * h + 1, -zero * scale, prm)
+        return jnp.concatenate(codes_parts, axis=1), prm
+
+    @pl.when(j < n_q_tiles)
+    def _q():
+        out_ref[:] = roped().astype(out_ref.dtype)
+        codes_ref[:] = jnp.zeros(codes_ref.shape, jnp.int8)
+        prm_ref[:] = jnp.zeros(prm_ref.shape, jnp.float32)
+
+    @pl.when((j >= n_q_tiles) & (j < n_q_tiles + n_k_tiles))
+    def _k():
+        codes, prm = quantize(roped())
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        codes_ref[:] = codes
+        prm_ref[:] = prm
+
+    @pl.when(j >= n_q_tiles + n_k_tiles)
+    def _v():
+        codes, prm = quantize(acc)
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        codes_ref[:] = codes
+        prm_ref[:] = prm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_q", "n_kv", "head_dim", "tile_n", "interpret"),
+)
+def packed_w4_gemm_qkv(
+    a: jnp.ndarray,   # int8 [M, kb + GROUP]
+    wp: jnp.ndarray,  # int8 [kb // 2, N]  (N = n_q + 2 * n_kv)
+    wk: jnp.ndarray,  # int8 [GROUP, N]
+    sa: jnp.ndarray,  # f32 [M, ng + 1]
+    sw: jnp.ndarray,  # f32 [ng + 1, N]
+    cos: jnp.ndarray,  # f32 [M, head_dim]
+    sin: jnp.ndarray,
+    n_q: int,
+    n_kv: int,
+    head_dim: int = 128,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """Fused qkv GEMM for DECODE shapes.  Returns
+    (q bf16 [M, n_q] RoPE'd, k_codes [M, n_kv], k_prm f32 [M, n_kv//hd, 2],
+     v_codes, v_prm).  K is quantized POST-RoPE, matching the serving cache.
+    """
+    from atom_tpu.ops.runtime import interpret_default
+
+    interpret = interpret_default(interpret)
+    m, ktot = a.shape
+    n = wp.shape[1]
+    kb = ktot - GROUP
+    ng = kb // GROUP
+    tn = tile_n
+    assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
+    n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
+    tm = min(256, _round_up(m, 32))
+    pad_m = _round_up(m, tm) - m
+    if pad_m:
+        a = jnp.pad(a, ((0, pad_m), (0, 0)))
+        sa = jnp.pad(sa, ((0, pad_m), (0, 0)))
+        cos = jnp.pad(cos, ((0, pad_m), (0, 0)))
+        sin = jnp.pad(sin, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+
+    kernel = functools.partial(
+        _gemm_qkv_kernel,
+        ng=ng,
+        head_dim=head_dim,
+        n_q_tiles=n_q_tiles,
+        n_k_tiles=n_k_tiles,
+    )
+    n_tiles = n // tn
+    out, codes, prm = pl.pallas_call(
+        kernel,
+        grid=(mp // tm, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tm, head_dim), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, head_dim), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, ktot), lambda i, j: (i, 0)),
+            pl.BlockSpec((kb // 2, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((GROUP, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((tm, ng + 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((ng + 1, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+            pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+            pl.BlockSpec((tm, 128), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
+            jax.ShapeDtypeStruct((mp, n), jnp.int8),
+            jax.ShapeDtypeStruct((mp, n_tiles * 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(cos, sin, a, wp, wk, sa, sw)
+
+    q = out[:m, :n_q]
+    heads_per_tile = tn // head_dim
+
+    def split(codes_region_start, tile0):
+        c = codes[:m, codes_region_start : codes_region_start + n_kv]
+        c = c.reshape(m, n_kv // head_dim, head_dim)
+        pr = prm[:m, tile0 * 128 : (tile0 + n_k_tiles) * 128]
+        pr = pr.reshape(m, n_k_tiles, 128)[:, :, : 2 * heads_per_tile]
+        pr = pr.reshape(m, n_k_tiles * heads_per_tile, 2)
+        return c, pr
+
+    k_codes, k_prm = split(n_q, n_q_tiles)
+    v_codes, v_prm = split(n_q + n_kv, n_q_tiles + n_k_tiles)
+    return q, k_codes, k_prm, v_codes, v_prm

@@ -175,14 +175,39 @@ def _attn_block_common(
     n_q = cfg.num_heads * cfg.head_dim
     n_kv = cfg.num_kv_heads * cfg.head_dim
     dh = cfg.head_dim
-    cos, sin = rope
+    cos, sin = rope  # [T, Dh]
     h_in = R.rmsnorm_reorder_quant(x, lp.ln_attn, lp.attn_reorder, spec)
+    t = x.shape[0]
+
+    if n_q % 512 == 0 and n_kv % 512 == 0 and dh == 128:
+        # Fused path: RoPE + per-head KV quantization inside the GEMM tiles
+        # (removes ~15 small XLA ops per layer).
+        from atom_tpu.ops.pallas_gemm_packed import (
+            assemble_activation,
+            packed_w4_gemm_qkv,
+        )
+
+        a, sa = assemble_activation(h_in)
+        sw = jnp.concatenate(
+            [lp.wqkv.body_scale, lp.wqkv.keeper_scale[None, :]], axis=0
+        )
+        q, kc, kp, vc, vp = packed_w4_gemm_qkv(
+            a, lp.wqkv.body_packed, lp.wqkv.keeper, sa, sw,
+            cos.astype(jnp.float32), sin.astype(jnp.float32),
+            n_q=n_q, n_kv=n_kv, head_dim=dh,
+        )
+        return (
+            q.reshape(t, cfg.num_heads, dh),
+            R.KVQuant(kc, kp),
+            R.KVQuant(vc, vp),
+        )
+
     qkv = quant_gemm_packed(h_in, lp.wqkv, out_dtype=jnp.float32)
-    t = qkv.shape[0]
     qh = qkv[:, :n_q].reshape(t, cfg.num_heads, dh)
-    q = apply_rope(qh, cos, sin).astype(jnp.bfloat16)  # [T, H, Dh]
+    q = apply_rope(qh, cos[:, None, :], sin[:, None, :]).astype(jnp.bfloat16)
     k = apply_rope(
-        qkv[:, n_q : n_q + n_kv].reshape(t, cfg.num_kv_heads, dh), cos, sin
+        qkv[:, n_q : n_q + n_kv].reshape(t, cfg.num_kv_heads, dh),
+        cos[:, None, :], sin[:, None, :],
     )
     kq = R.quantize_kv_asym(k)
     vq = R.quantize_kv_asym(
@@ -302,9 +327,7 @@ def decode_hidden(
     for l, lp in enumerate(params.layers):
       with jax.named_scope(f"layer{l}"):
         with jax.named_scope("qkv"):
-            q, kq, vq = _attn_block_common(
-                x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
-            )
+            q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
         with jax.named_scope("ring_write"):
             hot_l = write_hot(state.hot[l], row, kq, vq)
         new_hot.append(hot_l)
@@ -390,9 +413,7 @@ def prefill_hidden(
 
     new_pages = []
     for l, lp in enumerate(params.layers):
-        q, kq, vq = _attn_block_common(
-            x, lp, cfg, spec, (cos[:, None, :], sin[:, None, :])
-        )
+        q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
         new_pages.append(append_kv_prefill_kernel(pages[l], kq, vq, table_row))
 
         # Attention with the SAME numerics as the decode kernel

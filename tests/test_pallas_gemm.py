@@ -3,6 +3,7 @@
 The real-TPU compile + perf runs happen in bench.py / kernel bench scripts;
 here interpret mode pins the numerics to ``ops.reference`` exactly.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -103,3 +104,62 @@ class TestPackedKernel:
         )
         assert out.shape == (8, 384)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_qkv_gemm_matches_unfused():
+    """packed_w4_gemm_qkv == plain GEMM + rope + per-head KV quant."""
+    import numpy as np
+
+    from atom_tpu.config import QuantSpec
+    from atom_tpu.models.nn import apply_rope, rope_tables
+    from atom_tpu.ops import reference as R
+    from atom_tpu.ops.formats import (
+        pack_for_kernel,
+        quantize_activation_packed,
+        quantize_weight_packed,
+    )
+    from atom_tpu.ops.pallas_gemm_packed import (
+        assemble_activation,
+        packed_w4_gemm_qkv,
+        quant_gemm_packed,
+    )
+
+    spec = QuantSpec(weight_channel_group=1)
+    key = jax.random.PRNGKey(0)
+    d, n_q, n_kv, dh, m = 1024, 512, 512, 128, 8
+    w = jax.random.normal(key, (d, n_q + 2 * n_kv), jnp.float32) * (d ** -0.5)
+    kw = pack_for_kernel(quantize_weight_packed(w, spec))
+    x = jax.random.normal(jax.random.PRNGKey(1), (m, d), jnp.float32)
+    qa = quantize_activation_packed(x, spec)
+    pos = jnp.asarray([5, 9, 1, 0, 77, 3, 2, 8], jnp.int32)
+    cos, sin = rope_tables(pos, dh, 10000.0)
+
+    a, sa = assemble_activation(qa)
+    sw = jnp.concatenate([kw.body_scale, kw.keeper_scale[None, :]], axis=0)
+    q, kc, kp, vc, vp = packed_w4_gemm_qkv(
+        a, kw.body_packed, kw.keeper, sa, sw, cos, sin,
+        n_q=n_q, n_kv=n_kv, head_dim=dh, interpret=True,
+    )
+
+    qkv = quant_gemm_packed(qa, kw, out_dtype=jnp.float32, interpret=True)
+    q_want = apply_rope(
+        qkv[:, :n_q].reshape(m, n_q // dh, dh), cos[:, None, :], sin[:, None, :]
+    ).astype(jnp.bfloat16)
+    k_want = R.quantize_kv_asym(apply_rope(
+        qkv[:, n_q : n_q + n_kv].reshape(m, n_kv // dh, dh),
+        cos[:, None, :], sin[:, None, :],
+    ))
+    v_want = R.quantize_kv_asym(qkv[:, n_q + n_kv :].reshape(m, n_kv // dh, dh))
+
+    np.testing.assert_allclose(
+        np.asarray(q.reshape(m, n_q // dh, dh), np.float32),
+        np.asarray(q_want, np.float32), rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_array_equal(np.asarray(kc), np.asarray(k_want.codes))
+    np.testing.assert_allclose(
+        np.asarray(kp), np.asarray(k_want.params), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(vc), np.asarray(v_want.codes))
+    np.testing.assert_allclose(
+        np.asarray(vp), np.asarray(v_want.params), rtol=1e-5, atol=1e-6
+    )
