@@ -124,29 +124,44 @@ def burst_throughput_baseline(cfg, batch, ctx, kind, n_steps=32):
     return _slope_tok_s(run, batch, n_steps)
 
 
-def engine_run(cfg, batch, n_requests):
+def engine_run(cfg, batch, n_requests, stack="w4a4"):
     from atom_tpu.serving import (
         KvPool, TextGenConfig, TextGenEngine, synth_requests,
     )
-    from atom_tpu.serving.model import init_serving_params, make_step_fns
 
-    spec = ATOM_W4A4
-    params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
     tg = TextGenConfig(batch_size=batch, max_seq_len=1024,
                        prefill_buckets=(128, 256, 512))
-    pool = KvPool(
-        cfg.num_layers,
-        batch * tg.max_seq_len // tg.page_size + 16,
-        cfg.num_kv_heads, tg.page_size, cfg.head_dim,
-    )
-    from atom_tpu.serving.model import make_serving_state
-
     n_pool = batch * tg.max_seq_len // tg.page_size + 16
-    state = make_serving_state(
-        cfg.num_layers, n_pool, batch, cfg.num_kv_heads, tg.page_size,
-        cfg.head_dim,
+    pool = KvPool(
+        cfg.num_layers, n_pool, cfg.num_kv_heads, tg.page_size, cfg.head_dim,
     )
-    engine = TextGenEngine(tg, pool, *make_step_fns(params, cfg, spec), state)
+    if stack == "w4a4":
+        from atom_tpu.serving.model import (
+            init_serving_params, make_serving_state, make_step_fns,
+        )
+
+        spec = ATOM_W4A4
+        params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+        state = make_serving_state(
+            cfg.num_layers, n_pool, batch, cfg.num_kv_heads, tg.page_size,
+            cfg.head_dim,
+        )
+        step_fns = make_step_fns(params, cfg, spec)
+    else:
+        from atom_tpu.serving.baselines import (
+            init_bf16_params, init_w4a16_params, init_w8_params,
+            make_baseline_step_fns, make_dense_kv,
+        )
+
+        init = {"bf16": init_bf16_params, "w8a8": init_w8_params,
+                "w4a16": init_w4a16_params}[stack]
+        params = init(jax.random.PRNGKey(0), cfg)
+        state = make_dense_kv(
+            cfg.num_layers, batch, tg.max_seq_len, cfg.num_kv_heads,
+            cfg.head_dim,
+        )
+        step_fns = make_baseline_step_fns(params, cfg, stack)
+    engine = TextGenEngine(tg, pool, *step_fns, state)
     rs = synth_requests(n_requests, cfg.vocab_size, maxlen=900)
     return engine.run(rs, progress=True)
 
@@ -158,6 +173,7 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--stacks", nargs="*",
+                    choices=["w4a4", "bf16", "w8a8", "w4a16"],
                     default=["w4a4", "bf16", "w8a8", "w4a16"])
     ap.add_argument("--engine", action="store_true")
     ap.add_argument("--requests", type=int, default=64)
@@ -168,9 +184,11 @@ def main(argv=None):
           f"batch={args.batch} ctx={args.ctx}", flush=True)
 
     if args.engine:
-        res = engine_run(cfg, args.batch, args.requests)
-        for k, v in res.items():
-            print(f"  {k}: {v}")
+        for stack in args.stacks:
+            print(f"--- engine: {stack} ---", flush=True)
+            res = engine_run(cfg, args.batch, args.requests, stack)
+            for k, v in res.items():
+                print(f"  {k}: {v}")
         return
 
     results = {}

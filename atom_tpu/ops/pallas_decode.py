@@ -92,14 +92,22 @@ def _decode_kernel(
 
         for hh in range(head_block):
             kb = kp_ref[0, hh].astype(jnp.int32)  # [D/2, S]
-            k_codes = jnp.concatenate(
-                [kb & 0x0F, (kb >> 4) & 0x0F], axis=0
-            ).astype(jnp.float32)  # [D, S] true channel order
+            # two per-nibble-plane dots instead of concat-to-[D,S]: channel
+            # rows [0, D/2) live in the low nibble, [D/2, D) in the high.
+            # (bf16 dots measured within noise of f32 here but fail the
+            # prefill-consistency tolerance; f32 keeps decode == prefill.)
+            k_lo = (kb & 0x0F).astype(jnp.float32)
+            k_hi = ((kb >> 4) & 0x0F).astype(jnp.float32)
             r0 = hh * groups
             q_h = q_ref[0, r0 : r0 + groups, :].astype(jnp.float32)  # [G, D]
             q_sum = jnp.sum(q_h, axis=1, keepdims=True)  # [G, 1]
+            dhalf = q_h.shape[1] // 2
             dot = jax.lax.dot_general(
-                q_h, k_codes,
+                q_h[:, :dhalf], k_lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                q_h[:, dhalf:], k_hi,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, S]
@@ -116,13 +124,19 @@ def _decode_kernel(
             l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
             vb = vp_ref[0, hh].astype(jnp.int32)  # [S/2, D]
-            v_codes = jnp.concatenate(
-                [vb & 0x0F, (vb >> 4) & 0x0F], axis=0
-            ).astype(jnp.float32)  # [S, D] true slot order
+            # slot rows [0, S/2) are the low nibble, [S/2, S) the high
+            v_lo = (vb & 0x0F).astype(jnp.float32)
+            v_hi = ((vb >> 4) & 0x0F).astype(jnp.float32)
             v_scale = vprm_ref[0, hh, 0:1, :]
             v_zero = vprm_ref[0, hh, 1:2, :]
+            pw = p * v_scale  # [G, S]
+            half = pw.shape[1] // 2
             pv = jax.lax.dot_general(
-                p * v_scale, v_codes,
+                pw[:, :half], v_lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                pw[:, half:], v_hi,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, D]

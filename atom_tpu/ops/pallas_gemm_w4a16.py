@@ -56,22 +56,37 @@ def dequantize_w4a16(wq: W4A16Weight) -> jnp.ndarray:
     return (codes * wq.scale[:, None, :]).reshape(ng * GROUP, n)
 
 
-def _w4a16_kernel(a_ref, wp_ref, sw_ref, out_ref, *, ng: int):
+KBLK = 8  # quant groups per K-grid step (sublane-aligned scale block)
+
+
+def _w4a16_kernel(a_ref, wp_ref, sw_ref, out_ref, *, kb: int):
+    """One (m-tile, n-tile, k-block) grid step over ``kb`` quant groups.
+
+    The K axis rides the grid (innermost, output-revisiting) so VMEM holds
+    ``kb`` 128-row groups at a time — a fully unrolled in-kernel group loop
+    blows the 16MB scoped-VMEM limit at K=11008, while one group per step
+    makes the weight DMAs too small to pipeline."""
+    g = pl.program_id(2)
+
+    @pl.when(g == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    a = a_ref[:].astype(jnp.float32)  # [tm, kb*GROUP]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    a = a_ref[:].astype(jnp.float32)
-    for g in range(ng):
-        pb = wp_ref[g * HALF : (g + 1) * HALF, :].astype(jnp.int32)
+    for q in range(kb):
+        pb = wp_ref[q * HALF : (q + 1) * HALF, :].astype(jnp.int32)
         w_lo = ((pb << 28) >> 28).astype(jnp.float32)  # sign-extended
         w_hi = (pb >> 4).astype(jnp.float32)
         acc_g = jax.lax.dot_general(
-            a[:, g * GROUP : g * GROUP + HALF], w_lo,
+            a[:, q * GROUP : q * GROUP + HALF], w_lo,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            a[:, g * GROUP + HALF : (g + 1) * GROUP], w_hi,
+            a[:, q * GROUP + HALF : (q + 1) * GROUP], w_hi,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        acc += acc_g * sw_ref[g : g + 1, :]
-    out_ref[:] = acc
+        acc += acc_g * sw_ref[q : q + 1, :]
+    out_ref[:] += acc
 
 
 def _round_up(x, m):
@@ -93,30 +108,35 @@ def w4a16_gemm(
     m, k = a.shape
     n = wq.packed.shape[1]
     ng = k // GROUP
+    kb = min(KBLK, ng)
     tm = min(tile_m, _round_up(m, 32))
     tn = min(tile_n, _round_up(n, 128))
     pad_m = _round_up(m, tm) - m
     pad_n = _round_up(n, tn) - n
-    if pad_m:
-        a = jnp.pad(a, ((0, pad_m), (0, 0)))
+    # pad K to a whole number of k-blocks; zero activations and zero scales
+    # contribute nothing to the accumulator
+    ngp = _round_up(ng, kb)
+    pad_k = ngp * GROUP - k
+    if pad_m or pad_k:
+        a = jnp.pad(a, ((0, pad_m), (0, pad_k)))
     wp, sw = wq.packed, wq.scale
-    if pad_n:
-        wp = jnp.pad(wp, ((0, 0), (0, pad_n)))
-        sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
+    if pad_n or pad_k:
+        wp = jnp.pad(wp, ((0, pad_k // 2), (0, pad_n)))
+        sw = jnp.pad(sw, ((0, ngp - ng), (0, pad_n)))
     mp, np_ = m + pad_m, n + pad_n
 
     out = pl.pallas_call(
-        functools.partial(_w4a16_kernel, ng=ng),
-        grid=(mp // tm, np_ // tn),
+        functools.partial(_w4a16_kernel, kb=kb),
+        grid=(mp // tm, np_ // tn, ngp // kb),
         in_specs=[
-            pl.BlockSpec((tm, k), lambda i, j: (i, 0)),
-            pl.BlockSpec((k // 2, tn), lambda i, j: (0, j)),
-            pl.BlockSpec((ng, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((tm, kb * GROUP), lambda i, j, g: (i, g)),
+            pl.BlockSpec((kb * HALF, tn), lambda i, j, g: (g, j)),
+            pl.BlockSpec((kb, tn), lambda i, j, g: (g, j)),
         ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, g: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * k,

@@ -356,3 +356,112 @@ def w4a16_decode_burst(params, kvs, ids, seq_lens, n_steps, cfg: ModelConfig):
         return ids_, kvs_, new_lens
 
     return jax.lax.fori_loop(0, n_steps, body, (ids, kvs, seq_lens))
+
+
+# ---------------------------------------------------------------------------
+# Prefill + engine adapters (all three stacks)
+# ---------------------------------------------------------------------------
+
+
+def _prefill_layer_common(x, lp, matmul, kv, slot, cfg, cos, sin, mask):
+    """One decoder layer of single-sequence prefill; fills the slot's dense-KV
+    rows [0, bucket) (rows past ``true_len`` hold garbage that decode appends
+    overwrite before attention can ever see them)."""
+    t = x.shape[0]
+    dh = cfg.head_dim
+    h = rmsnorm(x, lp.ln_attn, cfg.norm_eps)
+    q = matmul(h, lp.wq).reshape(t, cfg.num_heads, dh)
+    k = matmul(h, lp.wk).reshape(t, cfg.num_kv_heads, dh)
+    v = matmul(h, lp.wv).reshape(t, cfg.num_kv_heads, dh)
+    q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+    k = apply_rope(k.astype(jnp.float32), cos[:, None, :], sin[:, None, :])
+    kv = DenseKV(
+        jax.lax.dynamic_update_slice(
+            kv.k, k.astype(kv.k.dtype)[None], (slot, 0, 0, 0)
+        ),
+        jax.lax.dynamic_update_slice(
+            kv.v, v.astype(kv.v.dtype)[None], (slot, 0, 0, 0)
+        ),
+    )
+    kf = repeat_kv(k.transpose(1, 0, 2)[None], cfg.kv_groups)[0]  # [Hq, T, Dh]
+    vf = repeat_kv(
+        v.astype(jnp.float32).transpose(1, 0, 2)[None], cfg.kv_groups
+    )[0]
+    scores = jnp.einsum(
+        "qhd,hkd->hqk", q.astype(jnp.float32), kf,
+        preferred_element_type=jnp.float32,
+    ) * (dh ** -0.5)
+    probs = jax.nn.softmax(scores + mask[0], axis=-1)  # mask [1, T, T]
+    attn = jnp.einsum(
+        "hqk,hkd->qhd", probs, vf, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    x = x + matmul(attn.reshape(t, -1), lp.wo)
+    h = rmsnorm(x, lp.ln_mlp, cfg.norm_eps)
+    g = matmul(h, lp.wgate)
+    u = matmul(h, lp.wup)
+    act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    return x + matmul(act, lp.wdown), kv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "matmul_name"), donate_argnames=("kvs",)
+)
+def baseline_prefill_step(
+    params, kvs, ids, true_len, slot, cfg: ModelConfig, matmul_name: str
+):
+    """Single-sequence bucketed prefill shared by all baseline stacks.
+
+    ``ids`` is a zero-padded [bucket] prompt; fills the slot's dense-KV rows
+    and returns the argmax token at position ``true_len - 1``.
+    """
+    from atom_tpu.serving.model import _embed_lookup, _lm_head_logits
+
+    matmul = {
+        "bf16": _bf16_matmul,
+        "w8a8": _w8a8_matmul,
+        "w4a16": _w4a16_matmul,
+    }[matmul_name]
+    t = ids.shape[0]
+    x = _embed_lookup(params.embed, ids)  # [T, d]
+    cos, sin = rope_tables(jnp.arange(t), cfg.head_dim, cfg.rope_theta)
+    mask = causal_mask(t, t)
+    new_kvs = []
+    for lp, kv in zip(params.layers, kvs):
+        x, kv = _prefill_layer_common(
+            x, lp, matmul, kv, slot, cfg, cos, sin, mask
+        )
+        new_kvs.append(kv)
+    x = rmsnorm(x, params.final_norm, cfg.norm_eps)
+    x_last = jax.lax.dynamic_slice_in_dim(x, true_len - 1, 1, axis=0)
+    logits = _lm_head_logits(x_last, params.lm_head)
+    return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), new_kvs
+
+
+def make_baseline_step_fns(params, cfg: ModelConfig, stack: str):
+    """Engine adapters: (prefill_fn, decode_fn) with dense-KV state.
+
+    ``stack`` is one of bf16/w8a8/w4a16.  The engine's page tables carry no
+    information for a dense cache — only ``seq_lens`` is consumed — but the
+    calling convention matches the W4A4 stack so the same ``TextGenEngine``
+    drives all four (the reference benches its stacks through one
+    ``bench_textgen.py`` driver the same way).
+    """
+    step = {
+        "bf16": bf16_decode_step,
+        "w8a8": w8a8_decode_step,
+        "w4a16": w4a16_decode_step,
+    }[stack]
+
+    def prefill_fn(state, ids, table_row, true_len, slot):
+        tok, state = baseline_prefill_step(
+            params, state, ids, true_len, slot, cfg, stack
+        )
+        return tok, state
+
+    def decode_fn(state, ids, page_table, seq_lens):
+        tok, state = step(params, state, ids, seq_lens, cfg)
+        return tok, state
+
+    return prefill_fn, decode_fn

@@ -177,7 +177,7 @@ class TextGenEngine:
                     s.kv.release()
                     workset[slot] = None
                     done += 1
-            if progress and done % 8 == 0:
+            if progress and done and done % 8 == 0:
                 print(f"  done {done}/{n_req}", flush=True)
 
         # Execution barrier: everything above is async; fetch one scalar.

@@ -139,3 +139,79 @@ def test_w4a16_gemm_and_burst():
     lens = jnp.asarray([3, 5, 1, 7], jnp.int32)
     tok, kvs, lens2 = w4a16_decode_burst(params, kvs, ids, lens, jnp.int32(3), TINY)
     np.testing.assert_array_equal(np.asarray(lens2), np.asarray(lens) + 3)
+
+
+def test_baseline_engine_and_prefill_consistency():
+    """All three baseline stacks run the full engine; for bf16 additionally
+    check prefill -> decode continuation consistency (decode over the dense
+    cache reproduces the token a longer prefill predicts)."""
+    import numpy as np
+
+    from atom_tpu.serving import KvPool, RequestSet, TextGenConfig, TextGenEngine
+    from atom_tpu.serving.baselines import (
+        baseline_prefill_step,
+        bf16_decode_step,
+        init_w4a16_params,
+        init_w8_params,
+        make_baseline_step_fns,
+    )
+
+    batch = 4
+    tg = TextGenConfig(
+        batch_size=batch, page_size=64, max_seq_len=256,
+        prefill_buckets=(32, 64),
+    )
+    rng = np.random.Generator(np.random.PCG64(7))
+    n_req = 5
+    prompt_lens = rng.integers(3, 30, n_req).astype(np.int32)
+    output_lens = rng.integers(2, 20, n_req).astype(np.int32)
+    rs = RequestSet(
+        prompt_lens,
+        output_lens,
+        [rng.integers(1, TINY.vocab_size, p).astype(np.int32) for p in prompt_lens],
+    )
+    for stack, init in (
+        ("bf16", init_bf16_params),
+        ("w8a8", init_w8_params),
+        ("w4a16", init_w4a16_params),
+    ):
+        pool = KvPool(TINY.num_layers, 24, TINY.num_kv_heads, 64, TINY.head_dim)
+        params = init(jax.random.PRNGKey(0), TINY)
+        state = make_dense_kv(
+            TINY.num_layers, batch, tg.max_seq_len, TINY.num_kv_heads,
+            TINY.head_dim,
+        )
+        engine = TextGenEngine(
+            tg, pool, *make_baseline_step_fns(params, TINY, stack), state
+        )
+        res = engine.run(rs)
+        assert res["requests"] == n_req, stack
+        assert res["output_tokens"] == int(output_lens.sum()), stack
+
+    # --- prefill -> decode continuation (bf16) ---
+    params = init_bf16_params(jax.random.PRNGKey(1), TINY)
+    kvs = make_dense_kv(TINY.num_layers, 2, 128, TINY.num_kv_heads, TINY.head_dim)
+    prompt = rng.integers(1, TINY.vocab_size, 11).astype(np.int32)
+    ids = np.zeros((32,), np.int32)
+    ids[:11] = prompt
+    tok, kvs = baseline_prefill_step(
+        params, kvs, jnp.asarray(ids), jnp.int32(11), jnp.int32(0), TINY, "bf16"
+    )
+    seq = list(prompt)
+    cur = int(tok)
+    for i in range(6):
+        seq.append(cur)
+        lens = jnp.asarray([len(seq), 0], jnp.int32)
+        nxt, kvs = bf16_decode_step(
+            params, kvs, jnp.asarray([cur, 0], np.int32), lens, TINY
+        )
+        cur = int(nxt[0])
+    # oracle: fresh prefill over the whole generated prefix
+    kvs2 = make_dense_kv(TINY.num_layers, 1, 128, TINY.num_kv_heads, TINY.head_dim)
+    ids2 = np.zeros((32,), np.int32)
+    ids2[: len(seq)] = seq
+    want, _ = baseline_prefill_step(
+        params, kvs2, jnp.asarray(ids2), jnp.int32(len(seq)), jnp.int32(0),
+        TINY, "bf16",
+    )
+    assert cur == int(want)
