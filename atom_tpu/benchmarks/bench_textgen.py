@@ -33,14 +33,19 @@ from atom_tpu.models.configs import Arch, ModelConfig
 
 def model_cfg(name: str, layers: int) -> ModelConfig:
     geom = {
-        "7b": dict(hidden_size=4096, intermediate_size=11008, num_heads=32),
-        "13b": dict(hidden_size=5120, intermediate_size=13824, num_heads=40),
+        "7b": dict(hidden_size=4096, intermediate_size=11008, num_heads=32,
+                   num_kv_heads=32),
+        "13b": dict(hidden_size=5120, intermediate_size=13824, num_heads=40,
+                    num_kv_heads=40),
+        # Llama-2-70B per-layer geometry (GQA, 8 kv heads); full model needs
+        # TP over multiple chips — bench a layer slice single-chip
+        "70b": dict(hidden_size=8192, intermediate_size=28672, num_heads=64,
+                    num_kv_heads=8),
     }[name]
     return ModelConfig(
         arch=Arch.LLAMA,
         vocab_size=32000,
         num_layers=layers,
-        num_kv_heads=geom["num_heads"],
         head_dim=128,
         max_position_embeddings=2048,
         **geom,
@@ -168,7 +173,7 @@ def engine_run(cfg, batch, n_requests, stack="w4a4"):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=["7b", "13b"], default="7b")
+    ap.add_argument("--model", choices=["7b", "13b", "70b"], default="7b")
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=512)

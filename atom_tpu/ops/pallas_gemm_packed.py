@@ -124,6 +124,101 @@ def _gemm_packed_scratch_kernel(
     out_ref[:] = acc
 
 
+def _gemm_packed_kblk_kernel(
+    a_ref,   # int8 [tm, kb_g * GROUP] — body codes, this k-block
+    ak_ref,  # int8 [tm, GROUP] — keeper codes
+    wp_ref,  # int8 [kb_g * HALF, tn]
+    wk_ref,  # int8 [GROUP, tn]
+    sa_ref,  # f32 [1, tm, kb_g] (k-block-major: lane dim == kb_g exactly)
+    sak_ref,  # f32 [tm, 1]
+    sw_ref,  # f32 [kb_g, tn]
+    swk_ref,  # f32 [1, tn]
+    out_ref,  # f32 [tm, tn]
+    *,
+    kb_g: int,
+):
+    """K-blocked variant for large K (the 70B MLP: 223 groups): the K axis
+    rides the grid (innermost, output-revisiting), ``kb_g`` groups per step —
+    a fully unrolled 223-group loop exceeds the 16MB scoped-VMEM stack.
+    Zero-padded trailing groups have zero scales and contribute nothing."""
+    g0 = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(g0 == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(kb_g):
+        w_lo, w_hi = _unpack_nibbles(wp_ref[g * HALF : (g + 1) * HALF, :])
+        a_lo = a_ref[:, g * GROUP : g * GROUP + HALF]
+        a_hi = a_ref[:, g * GROUP + HALF : (g + 1) * GROUP]
+        acc_g = _DOT_I32(a_lo, w_lo) + _DOT_I32(a_hi, w_hi)
+        acc += (
+            acc_g.astype(jnp.float32)
+            * sa_ref[0, :, g : g + 1]
+            * sw_ref[g : g + 1, :]
+        )
+
+    @pl.when(g0 == nk - 1)
+    def _keeper():
+        acc_k = _DOT_I32(ak_ref[:], wk_ref[:])
+        out_ref[:] += (
+            acc_k.astype(jnp.float32) * sak_ref[:, 0:1] * swk_ref[0:1, :]
+        )
+
+    out_ref[:] += acc
+
+
+_KBLK_G = 32          # groups per K-grid step in the blocked path
+_KBLK_THRESHOLD = 96  # ng above which the blocked path kicks in
+
+
+def _packed_w4_gemm_kblk(a, wp, wk, sa, sw, tm, tn, mp, np_, ng, interpret):
+    kb = ng * GROUP
+    ngp = _round_up(ng, _KBLK_G)
+    ab = jnp.pad(a[:, :kb], ((0, 0), (0, (ngp - ng) * GROUP)))
+    ak = a[:, kb:]
+    m_rows = a.shape[0]
+    sab = jnp.pad(sa[:, :ng], ((0, 0), (0, ngp - ng)))
+    # [nk, M, kb_g]: the lane dim equals the block exactly (Mosaic lane rule)
+    sab = sab.reshape(m_rows, ngp // _KBLK_G, _KBLK_G).transpose(1, 0, 2)
+    sak = sa[:, ng:]
+    swb = jnp.pad(sw[:ng], ((0, ngp - ng), (0, 0)))
+    swk = sw[ng:]
+    wpb = jnp.pad(wp, ((0, (ngp - ng) * HALF), (0, 0)))
+    kernel = functools.partial(
+        _gemm_packed_kblk_kernel, kb_g=_KBLK_G
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // tm, np_ // tn, ngp // _KBLK_G),
+        in_specs=[
+            pl.BlockSpec((tm, _KBLK_G * GROUP), lambda i, j, g: (i, g)),
+            pl.BlockSpec((tm, GROUP), lambda i, j, g: (i, 0)),
+            pl.BlockSpec((_KBLK_G * HALF, tn), lambda i, j, g: (g, j)),
+            pl.BlockSpec((GROUP, tn), lambda i, j, g: (0, j)),
+            pl.BlockSpec((1, tm, _KBLK_G), lambda i, j, g: (g, i, 0)),
+            pl.BlockSpec((tm, 1), lambda i, j, g: (i, 0)),
+            pl.BlockSpec((_KBLK_G, tn), lambda i, j, g: (g, j)),
+            pl.BlockSpec((1, tn), lambda i, j, g: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, g: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * (kb + GROUP),
+            bytes_accessed=mp * (kb + GROUP) + (kb // 2 + GROUP) * np_
+            + 4 * mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ab, ak, wpb, wk, sab, sak, swb, swk)
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_m", "tile_n", "interpret")
 )
@@ -156,6 +251,13 @@ def packed_w4_gemm(
         wk = jnp.pad(wk, ((0, 0), (0, pad_n)))
         sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
     mp, np_ = m + pad_m, n + pad_n
+
+    # Very deep K (ng > 96, e.g. the 70B MLP): K-blocked grid path.
+    if ng > _KBLK_THRESHOLD:
+        out = _packed_w4_gemm_kblk(
+            a, wp, wk, sa, sw, tm, tn, mp, np_, ng, interpret
+        )
+        return out[:m, :n]
 
     # Decode (small M): HBM-bound -> skip the scratch round-trip.
     # Prefill (large M): MXU-bound -> full-depth dots via scratch.

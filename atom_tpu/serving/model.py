@@ -116,7 +116,8 @@ def init_serving_params(
                 ln_attn=jnp.ones((d,), jnp.bfloat16),
                 ln_mlp=jnp.ones((d,), jnp.bfloat16),
                 attn_reorder=ident,
-                o_reorder=ident,
+                # o_proj input is n_q wide (!= hidden under GQA/MQA)
+                o_reorder=jnp.arange(n_q, dtype=jnp.int32),
                 mlp_reorder=ident,
                 wqkv=_rand_packed(k[0], d, n_q + 2 * n_kv, spec),
                 wo=_rand_packed(k[3], n_q, d, spec),

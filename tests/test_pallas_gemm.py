@@ -163,3 +163,30 @@ def test_fused_qkv_gemm_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(vp), np.asarray(v_want.params), rtol=1e-5, atol=1e-6
     )
+
+
+def test_kblk_deep_k_path():
+    """ng > 96 takes the K-blocked grid path (the 70B MLP depth class);
+    verify against the jnp oracle, including the non-multiple-of-32 group
+    count that exercises the zero-padded tail."""
+    from atom_tpu.config import ATOM_W4A4
+    from atom_tpu.ops.formats import (
+        pack_for_kernel,
+        quantize_activation_packed,
+        quantize_weight_packed,
+    )
+    from atom_tpu.ops.pallas_gemm_packed import quant_gemm_packed
+    from atom_tpu.ops.reference import quant_gemm
+
+    r = rng(5)
+    k_in = 99 * 128 + 128  # 99 body groups (99 % 32 != 0) + keeper
+    x = jnp.array(r.normal(size=(8, k_in)).astype(np.float32))
+    w = jnp.array(r.normal(size=(k_in, 256)).astype(np.float32) * 0.05)
+    qa = quantize_activation_packed(x, ATOM_W4A4)
+    pw = quantize_weight_packed(w, ATOM_W4A4)
+    kw = pack_for_kernel(pw)
+    ref = np.asarray(quant_gemm(qa, pw, out_dtype=jnp.float32))
+    out = np.asarray(
+        quant_gemm_packed(qa, kw, out_dtype=jnp.float32, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)

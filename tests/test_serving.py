@@ -78,24 +78,18 @@ def test_engine_completes_workload():
     assert pool.num_free_pages == free_before
 
 
-def test_decode_matches_prefill_continuation():
-    """Greedy tokens from step-by-step decode == prefill-with-longer-prompt
-    prediction, through the hot ring, bulk flushes, and the paged kernel.
-
-    Generates PAST a hot-ring flush boundary (W=32) so the flush path is
-    exercised, then re-checks with fresh prefills.
-    """
+def _run_decode_prefill_consistency(cfg):
     from atom_tpu.serving.kvpool import SeqKvCache, batch_page_table
     from atom_tpu.serving.model import decode_step, prefill_step
 
     n_pages = 12
-    pool = KvPool(TINY.num_layers, n_pages, TINY.num_kv_heads, PAGE, TINY.head_dim)
-    params = init_serving_params(jax.random.PRNGKey(1), TINY, SPEC)
+    pool = KvPool(cfg.num_layers, n_pages, cfg.num_kv_heads, PAGE, cfg.head_dim)
+    params = init_serving_params(jax.random.PRNGKey(1), cfg, SPEC)
     state = make_serving_state(
-        TINY.num_layers, n_pages, 1, TINY.num_kv_heads, PAGE, TINY.head_dim
+        cfg.num_layers, n_pages, 1, cfg.num_kv_heads, PAGE, cfg.head_dim
     )
     rng = np.random.Generator(np.random.PCG64(9))
-    prompt = rng.integers(1, TINY.vocab_size, 27).astype(np.int32)
+    prompt = rng.integers(1, cfg.vocab_size, 27).astype(np.int32)
     n_gen = 40  # crosses the W=32 flush boundary at len 32 and 64
 
     # Path A: prefill prompt, then decode step-by-step.
@@ -107,7 +101,7 @@ def test_decode_matches_prefill_continuation():
     table_row[: len(kv.page_ids)] = kv.page_ids
     tok, state = prefill_step(
         params, state, jnp.asarray(ids), jnp.asarray(table_row),
-        jnp.int32(len(prompt)), jnp.int32(0), TINY, SPEC,
+        jnp.int32(len(prompt)), jnp.int32(0), cfg, SPEC,
     )
     generated = [int(tok)]
     for i in range(n_gen - 1):
@@ -117,7 +111,7 @@ def test_decode_matches_prefill_continuation():
             params, state,
             jnp.asarray([generated[-1]], jnp.int32),
             jnp.asarray(table), jnp.asarray(lens),
-            TINY, SPEC,
+            cfg, SPEC,
             flush=((i + 1) % 32 == 0),  # the host's ring-wrap cadence
         )
         generated.append(int(tok[0]))
@@ -143,7 +137,7 @@ def test_decode_matches_prefill_continuation():
         tr2[: len(kv2.page_ids)] = kv2.page_ids
         tok2, state = prefill_step(
             params, state, jnp.asarray(ids2), jnp.asarray(tr2),
-            jnp.int32(len(seq)), jnp.int32(0), TINY, SPEC,
+            jnp.int32(len(seq)), jnp.int32(0), cfg, SPEC,
         )
         if int(tok2) != generated[k]:
             mismatches += 1
@@ -151,3 +145,25 @@ def test_decode_matches_prefill_continuation():
     assert mismatches <= 2, (
         f"{mismatches}/{len(checks)} prefill-continuation checks diverged"
     )
+
+
+def test_decode_matches_prefill_continuation():
+    """MHA geometry (unfused qkv path: n_kv % 512 != 0)."""
+    _run_decode_prefill_consistency(TINY)
+
+
+def test_decode_matches_prefill_continuation_gqa_fused():
+    """GQA geometry through the FUSED qkv epilogue (n_q=1024, n_kv=512,
+    groups=2) — the 70B-class head layout at tiny hidden size."""
+    cfg = ModelConfig(
+        arch=Arch.LLAMA,
+        vocab_size=199,
+        hidden_size=512,
+        intermediate_size=768,
+        num_layers=2,
+        num_heads=8,
+        num_kv_heads=4,
+        head_dim=128,
+        max_position_embeddings=512,
+    )
+    _run_decode_prefill_consistency(cfg)

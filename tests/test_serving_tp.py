@@ -47,7 +47,21 @@ def mesh():
     return Mesh(devs, ("tp",))
 
 
-def test_tp_decode_and_prefill_match_single_chip(mesh):
+GQA_CFG = ModelConfig(
+    arch=Arch.LLAMA,
+    vocab_size=256,
+    hidden_size=512,
+    intermediate_size=1024,
+    num_layers=2,
+    num_heads=8,
+    num_kv_heads=4,  # groups=2; TP=4 leaves 1 kv head / 2 q heads per shard
+    head_dim=128,
+)
+
+
+@pytest.mark.parametrize("cfg", [CFG, GQA_CFG], ids=["mha", "gqa"])
+def test_tp_decode_and_prefill_match_single_chip(mesh, cfg):
+    CFG = cfg
     params = init_serving_params(jax.random.PRNGKey(0), CFG, SPEC)
     n_pages = 8
     batch = 2
