@@ -1,0 +1,155 @@
+"""Sequence-parallel prefill: the long-context capability (new vs reference).
+
+The reference has no context-parallelism story at all (SURVEY.md §5 — max
+context 2048; its only long-sequence mechanism is the paged KV cache).  Here
+long prompts prefill across an ``sp`` mesh axis:
+
+  * The TOKEN axis shards: every GEMM and quantize epilogue is row-parallel
+    in tokens — zero communication, each chip runs the identical single-chip
+    layer code on its T/sp rows (RoPE/mask use global positions).
+  * Attention needs every query row to see all earlier keys: the
+    just-quantized K/V stream is all-gathered over sp.  Gathering the
+    QUANTIZED codes is the Atom-specific win — ICI traffic is 4-bit + per
+    token-head params, ~4x less than gathering bf16 KV (the usual ring/
+    all-gather attention cost).
+  * KV page writes run on gathered codes on every shard, so the paged cache
+    stays replicated (P()) and decode proceeds exactly as single-chip.
+
+Composes with engine DP at the request level; TP composition (2-D mesh) is a
+round-2 item.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+import atom_tpu.ops.reference as R
+from atom_tpu.config import QuantSpec
+from atom_tpu.models.configs import ModelConfig
+from atom_tpu.models.nn import repeat_kv, rmsnorm, rope_tables
+from atom_tpu.ops.kv_layout import append_kv_prefill_kernel
+from atom_tpu.serving.model import (
+    ServingState,
+    _attn_block_common,
+    _embed_lookup,
+    _lm_head_logits,
+    _post_attn,
+)
+
+
+def _gather_kv(kq, axis):
+    """All-gather a KVQuant token-shard along the token axis (codes are u4 in
+    int8 carriers: 1 byte per 2 elements on the wire)."""
+    return R.KVQuant(
+        codes=jax.lax.all_gather(kq.codes, axis, axis=0, tiled=True),
+        params=jax.lax.all_gather(kq.params, axis, axis=0, tiled=True),
+    )
+
+
+def sp_prefill_hidden(
+    params, pages, ids_local, table_row, cfg: ModelConfig, spec: QuantSpec,
+    axis: str = "sp",
+):
+    """Per-shard body (runs inside shard_map): local token rows, full KV.
+
+    Numerics match ``model.prefill_hidden`` row-for-row (same op order per
+    token row; only the GEMM M-tiling differs).
+    """
+    t_loc = ids_local.shape[0]
+    sp = jax.lax.axis_size(axis)
+    my = jax.lax.axis_index(axis)
+    pos0 = my * t_loc
+    dh = cfg.head_dim
+    groups = cfg.kv_groups
+
+    x = _embed_lookup(params.embed, ids_local)  # [T/sp, D]
+    positions = pos0 + jnp.arange(t_loc)
+    cos, sin = rope_tables(positions, dh, cfg.rope_theta)
+    # causal mask against GLOBAL key positions [T/sp, T]
+    t_full = sp * t_loc
+    col = jnp.arange(t_full)[None, :]
+    row = positions[:, None]
+    mask = jnp.where(col <= row, 0.0, jnp.finfo(jnp.float32).min)[None]
+
+    new_pages = []
+    for l, lp in enumerate(params.layers):
+        q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
+        kq_f = _gather_kv(kq, axis)  # [T, Hkv, ...]
+        vq_f = _gather_kv(vq, axis)
+        # replicated page write (identical on every shard)
+        new_pages.append(
+            append_kv_prefill_kernel(pages[l], kq_f, vq_f, table_row)
+        )
+
+        qf = q.astype(jnp.float32)  # [T/sp, H, Dh]
+        k_codes = jnp.repeat(kq_f.codes, groups, axis=1).astype(jnp.float32)
+        k_prm = jnp.repeat(kq_f.params, groups, axis=1)  # [T, H, 2]
+        dot = jnp.einsum("qhd,khd->hqk", qf, k_codes)
+        k_scale = k_prm[:, :, 0].T[:, None, :]  # [H, 1, T]
+        k_zero = k_prm[:, :, 1].T[:, None, :]
+        q_sum = jnp.sum(qf, axis=2)  # [T/sp, H]
+        scores = (
+            dot * k_scale + q_sum.T[:, :, None] * k_zero
+        ) * (dh ** -0.5)  # [H, T/sp, T]
+        probs = jax.nn.softmax(scores + mask, axis=-1)
+        v = repeat_kv(
+            R.dequantize_kv(vq_f.codes, vq_f.params).swapaxes(0, 1)[None],
+            groups,
+        )[0]  # [H, T, Dh]
+        attn = jnp.einsum("hqk,hkd->hqd", probs, v)
+        attn = attn.astype(jnp.bfloat16).swapaxes(0, 1).reshape(t_loc, -1)
+        x = _post_attn(x, attn, lp, spec)
+
+    return rmsnorm(x, params.final_norm, cfg.norm_eps), new_pages
+
+
+def make_sp_prefill_fn(
+    params, cfg: ModelConfig, spec: QuantSpec, mesh: Mesh, axis: str = "sp"
+):
+    """Engine-convention prefill over a sequence-parallel mesh.
+
+    ``prefill_fn(state, ids [T], table_row, true_len, slot)`` — ``T`` must be
+    divisible by the sp axis size; buckets should be sized accordingly.
+    Decode continues on any (single-chip or TP) step function: the page state
+    it leaves behind is identical to single-chip prefill's.
+    """
+    def body(p, pages, flushed, ids, table_row, true_len, slot):
+        t_loc = ids.shape[0]  # already the local shard
+        x, new_pages = sp_prefill_hidden(
+            p, pages, ids, table_row, cfg, spec, axis=axis
+        )
+        # the last valid row lives on one shard; fetch + sum-select
+        my = jax.lax.axis_index(axis)
+        idx = jnp.maximum(true_len - 1, 0)
+        local_idx = jnp.clip(idx - my * t_loc, 0, t_loc - 1)
+        has = (idx >= my * t_loc) & (idx < (my + 1) * t_loc)
+        last = jnp.where(has, x[local_idx], jnp.zeros_like(x[0]))
+        last = jax.lax.psum(last, axis)
+        logits = _lm_head_logits(last[None], p.lm_head)[0]
+        tok = jnp.argmax(logits).astype(jnp.int32)
+        return tok, new_pages, flushed.at[slot].set(true_len)
+
+    def run(state: ServingState, ids, table_row, true_len, slot):
+        n_layers = len(state.pages)
+        pg_spec = [
+            jax.tree.map(lambda _: P(), state.pages[l]) for l in range(n_layers)
+        ]
+        sm = shard_map(
+            body, mesh=mesh,
+            in_specs=(
+                jax.tree.map(lambda _: P(), params),
+                pg_spec, P(), P(axis), P(), P(), P(),
+            ),
+            out_specs=(P(), pg_spec, P()),
+            check_vma=False,
+        )
+        tok, new_pages, flushed = sm(
+            params, state.pages, state.flushed, ids, table_row, true_len, slot
+        )
+        return tok, ServingState(
+            pages=new_pages, hot=state.hot, row=state.row, flushed=flushed
+        )
+
+    return jax.jit(run, donate_argnums=(0,))
