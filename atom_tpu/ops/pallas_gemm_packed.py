@@ -170,8 +170,56 @@ def _gemm_packed_kblk_kernel(
     out_ref[:] += acc
 
 
-_KBLK_G = 32          # groups per K-grid step in the blocked path
-_KBLK_THRESHOLD = 96  # ng above which the blocked path kicks in
+_KBLK_G = 16          # groups per K-grid step in the blocked path
+_KBLK_THRESHOLD = 112  # ng above the 13B MLP (107); 30B/70B take the blocked path
+_A_RESIDENT_BYTES = 4 * 1024 * 1024  # keep whole A in VMEM below this
+
+
+def _gemm_packed_kblk_resident_kernel(
+    a_ref,   # int8 [tm, ngp * GROUP] — FULL body codes, VMEM-resident
+    ak_ref,  # int8 [tm, GROUP]
+    wp_ref,  # int8 [kb_g * HALF, tn]
+    wk_ref,  # int8 [GROUP, tn]
+    sa_ref,  # f32 [1, tm, kb_g] (k-block-major, same as streamed)
+    sak_ref,  # f32 [tm, 1]
+    sw_ref,  # f32 [kb_g, tn]
+    swk_ref,  # f32 [1, tn]
+    out_ref,  # f32 [tm, tn]
+    *,
+    kb_g: int,
+):
+    """Decode-size variant: A (and its scales) stay resident in VMEM across
+    the whole K walk (constant index map -> fetched once); only the 4-bit
+    weight stream advances with the grid.  Removes the per-k-step A refetch
+    that costs the streamed variant ~25% extra traffic at M=32."""
+    g0 = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(g0 == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = g0 * kb_g
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(kb_g):
+        w_lo, w_hi = _unpack_nibbles(wp_ref[g * HALF : (g + 1) * HALF, :])
+        # one 128-aligned dynamic load per group, split statically
+        a_g = a_ref[:, pl.ds((base + g) * GROUP, GROUP)]
+        acc_g = _DOT_I32(a_g[:, :HALF], w_lo) + _DOT_I32(a_g[:, HALF:], w_hi)
+        acc += (
+            acc_g.astype(jnp.float32)
+            * sa_ref[0, :, g : g + 1]
+            * sw_ref[g : g + 1, :]
+        )
+
+    @pl.when(g0 == nk - 1)
+    def _keeper():
+        acc_k = _DOT_I32(ak_ref[:], wk_ref[:])
+        out_ref[:] += (
+            acc_k.astype(jnp.float32) * sak_ref[:, 0:1] * swk_ref[0:1, :]
+        )
+
+    out_ref[:] += acc
 
 
 def _packed_w4_gemm_kblk(a, wp, wk, sa, sw, tm, tn, mp, np_, ng, interpret):
@@ -181,24 +229,35 @@ def _packed_w4_gemm_kblk(a, wp, wk, sa, sw, tm, tn, mp, np_, ng, interpret):
     ak = a[:, kb:]
     m_rows = a.shape[0]
     sab = jnp.pad(sa[:, :ng], ((0, 0), (0, ngp - ng)))
-    # [nk, M, kb_g]: the lane dim equals the block exactly (Mosaic lane rule)
-    sab = sab.reshape(m_rows, ngp // _KBLK_G, _KBLK_G).transpose(1, 0, 2)
     sak = sa[:, ng:]
     swb = jnp.pad(sw[:ng], ((0, ngp - ng), (0, 0)))
     swk = sw[ng:]
     wpb = jnp.pad(wp, ((0, (ngp - ng) * HALF), (0, 0)))
-    kernel = functools.partial(
-        _gemm_packed_kblk_kernel, kb_g=_KBLK_G
-    )
+    resident = mp == tm and mp * ngp * GROUP <= _A_RESIDENT_BYTES
+    # scales stream in [nk, M, kb_g] layout either way (tiny)
+    sab = sab.reshape(m_rows, ngp // _KBLK_G, _KBLK_G).transpose(1, 0, 2)
+    sa_spec = pl.BlockSpec((1, tm, _KBLK_G), lambda i, j, g: (g, i, 0))
+    if resident:
+        a_specs = [
+            pl.BlockSpec((tm, ngp * GROUP), lambda i, j, g: (i, 0)),
+            pl.BlockSpec((tm, GROUP), lambda i, j, g: (i, 0)),
+        ]
+        kernel = functools.partial(
+            _gemm_packed_kblk_resident_kernel, kb_g=_KBLK_G
+        )
+    else:
+        a_specs = [
+            pl.BlockSpec((tm, _KBLK_G * GROUP), lambda i, j, g: (i, g)),
+            pl.BlockSpec((tm, GROUP), lambda i, j, g: (i, 0)),
+        ]
+        kernel = functools.partial(_gemm_packed_kblk_kernel, kb_g=_KBLK_G)
     out = pl.pallas_call(
         kernel,
         grid=(mp // tm, np_ // tn, ngp // _KBLK_G),
-        in_specs=[
-            pl.BlockSpec((tm, _KBLK_G * GROUP), lambda i, j, g: (i, g)),
-            pl.BlockSpec((tm, GROUP), lambda i, j, g: (i, 0)),
+        in_specs=a_specs + [
             pl.BlockSpec((_KBLK_G * HALF, tn), lambda i, j, g: (g, j)),
             pl.BlockSpec((GROUP, tn), lambda i, j, g: (0, j)),
-            pl.BlockSpec((1, tm, _KBLK_G), lambda i, j, g: (g, i, 0)),
+            sa_spec,
             pl.BlockSpec((tm, 1), lambda i, j, g: (i, 0)),
             pl.BlockSpec((_KBLK_G, tn), lambda i, j, g: (g, j)),
             pl.BlockSpec((1, tn), lambda i, j, g: (0, j)),
@@ -239,8 +298,12 @@ def packed_w4_gemm(
     assert wp.shape[0] == kb // 2 and wk.shape == (GROUP, n)
     assert sa.shape == (m, ng + 1) and sw.shape == (ng + 1, n)
 
+    # Very deep K (ng > 112, e.g. the 70B MLP): K-blocked grid path wants
+    # wider n-tiles to amortize the per-n-tile pipeline flush (measured
+    # 383 -> 340us at K=28672, N=8192, M=32).
+    blocked = ng > _KBLK_THRESHOLD
     tm = min(tile_m, _round_up(m, 32))
-    tn = min(tile_n, _round_up(n, 128))
+    tn = min(max(tile_n, 2048) if blocked else tile_n, _round_up(n, 128))
     pad_m = _round_up(m, tm) - m
     pad_n = _round_up(n, tn) - n
     if pad_m:
@@ -252,8 +315,7 @@ def packed_w4_gemm(
         sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
     mp, np_ = m + pad_m, n + pad_n
 
-    # Very deep K (ng > 96, e.g. the 70B MLP): K-blocked grid path.
-    if ng > _KBLK_THRESHOLD:
+    if blocked:
         out = _packed_w4_gemm_kblk(
             a, wp, wk, sa, sw, tm, tn, mp, np_, ng, interpret
         )
