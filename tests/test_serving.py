@@ -167,3 +167,24 @@ def test_decode_matches_prefill_continuation_gqa_fused():
         max_position_embeddings=512,
     )
     _run_decode_prefill_consistency(cfg)
+
+
+def test_engine_error_paths():
+    """Prompt over the largest bucket -> clean ValueError; KV pool exhaustion
+    -> RuntimeError (the reference's kvcache asserts on empty free-list)."""
+    import pytest
+
+    from atom_tpu.serving.kvpool import KvPool
+
+    engine, pool = _make_engine(batch_size=2, n_pages=24)
+    rng = np.random.Generator(np.random.PCG64(4))
+    long_prompt = rng.integers(1, TINY.vocab_size, 300).astype(np.int32)
+    rs = RequestSet(
+        np.asarray([300], np.int32), np.asarray([4], np.int32), [long_prompt]
+    )
+    with pytest.raises(ValueError, match="exceeds largest prefill bucket"):
+        engine.run(rs)
+
+    small_pool = KvPool(TINY.num_layers, 2, TINY.num_kv_heads, PAGE, TINY.head_dim)
+    with pytest.raises(RuntimeError, match="exhausted"):
+        small_pool.alloc(5)
