@@ -153,3 +153,139 @@ def make_sp_prefill_fn(
         )
 
     return jax.jit(run, donate_argnums=(0,))
+
+
+def make_sp_tp_prefill_fn(
+    params_sharded,
+    cfg: ModelConfig,
+    spec: QuantSpec,
+    mesh: Mesh,
+    sp_axis: str = "sp",
+    tp_axis: str = "tp",
+):
+    """2-D long-context prefill: tokens shard over ``sp``, heads/columns over
+    ``tp`` (the 70B-at-long-context shape: tp for memory, sp for prompt
+    latency).
+
+    ``params_sharded`` comes from ``parallel.shard_serving_params`` over the
+    2-D mesh's tp axis (each weight carries a leading [tp] shard axis,
+    replicated over sp).  KV pages shard by head over tp and stay replicated
+    over sp; decode can continue on ``parallel.make_tp_step_fns`` over the
+    same tp axis.
+    """
+    tp = mesh.shape[tp_axis]
+    shard_cfg = cfg.replace(
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp,
+    )
+
+    def body(p, pages, flushed, ids, table_row, true_len, slot):
+        # local = this chip's tp shard of every weight
+        layers = [
+            lp._replace(
+                wqkv=jax.tree.map(lambda x: x[0], lp.wqkv),
+                wo=jax.tree.map(lambda x: x[0], lp.wo),
+                wgateup=jax.tree.map(lambda x: x[0], lp.wgateup),
+                wdown=jax.tree.map(lambda x: x[0], lp.wdown),
+            )
+            for lp in p.layers
+        ]
+        local = p._replace(lm_head=p.lm_head[0], layers=layers)
+
+        def gather_tp(x):
+            return jax.lax.all_gather(x, tp_axis, axis=x.ndim - 1, tiled=True)
+
+        t_loc = ids.shape[0]
+        sp = jax.lax.axis_size(sp_axis)
+        my_sp = jax.lax.axis_index(sp_axis)
+        pos0 = my_sp * t_loc
+        dh = cfg.head_dim
+        groups = cfg.kv_groups
+
+        x = _embed_lookup(local.embed, ids)
+        positions = pos0 + jnp.arange(t_loc)
+        cos, sin = rope_tables(positions, dh, cfg.rope_theta)
+        t_full = sp * t_loc
+        col = jnp.arange(t_full)[None, :]
+        mask = jnp.where(
+            col <= positions[:, None], 0.0, jnp.finfo(jnp.float32).min
+        )[None]
+
+        new_pages = []
+        for l, lp in enumerate(local.layers):
+            # local tp heads, local sp tokens
+            q, kq, vq = _attn_block_common(x, lp, shard_cfg, spec, (cos, sin))
+            kq_f = _gather_kv(kq, sp_axis)  # full tokens, LOCAL heads
+            vq_f = _gather_kv(vq, sp_axis)
+            new_pages.append(
+                append_kv_prefill_kernel(pages[l], kq_f, vq_f, table_row)
+            )
+            qf = q.astype(jnp.float32)
+            k_codes = jnp.repeat(kq_f.codes, groups, axis=1).astype(jnp.float32)
+            k_prm = jnp.repeat(kq_f.params, groups, axis=1)
+            dot = jnp.einsum("qhd,khd->hqk", qf, k_codes)
+            k_scale = k_prm[:, :, 0].T[:, None, :]
+            k_zero = k_prm[:, :, 1].T[:, None, :]
+            q_sum = jnp.sum(qf, axis=2)
+            scores = (
+                dot * k_scale + q_sum.T[:, :, None] * k_zero
+            ) * (dh ** -0.5)
+            probs = jax.nn.softmax(scores + mask, axis=-1)
+            v = repeat_kv(
+                R.dequantize_kv(vq_f.codes, vq_f.params).swapaxes(0, 1)[None],
+                groups,
+            )[0]
+            attn = jnp.einsum("hqk,hkd->hqd", probs, v)
+            attn = attn.astype(jnp.bfloat16).swapaxes(0, 1).reshape(t_loc, -1)
+            x = _post_attn(x, attn, lp, spec, gather=gather_tp)
+        x = rmsnorm(x, local.final_norm, cfg.norm_eps)
+
+        # last valid row: select over sp, then tp-sharded vocab argmax
+        my = jax.lax.axis_index(sp_axis)
+        idx = jnp.maximum(true_len - 1, 0)
+        local_idx = jnp.clip(idx - my * t_loc, 0, t_loc - 1)
+        has = (idx >= my * t_loc) & (idx < (my + 1) * t_loc)
+        last = jnp.where(has, x[local_idx], jnp.zeros_like(x[0]))
+        last = jax.lax.psum(last, sp_axis)
+        logits_local = _lm_head_logits(last[None], local.lm_head)[0]
+        vshard = logits_local.shape[-1]
+        my_tp = jax.lax.axis_index(tp_axis)
+        local_max = jnp.max(logits_local)
+        local_arg = jnp.argmax(logits_local) + my_tp * vshard
+        all_max = jax.lax.all_gather(local_max, tp_axis)
+        all_arg = jax.lax.all_gather(local_arg, tp_axis)
+        tok = all_arg[jnp.argmax(all_max)].astype(jnp.int32)
+        return tok, new_pages, flushed.at[slot].set(true_len)
+
+    w_spec = jax.tree.map(lambda _: P(tp_axis), params_sharded)
+    w_spec = w_spec._replace(
+        embed=P(), final_norm=P(),
+        layers=[
+            lp._replace(
+                ln_attn=P(), ln_mlp=P(),
+                attn_reorder=P(), o_reorder=P(), mlp_reorder=P(),
+            )
+            for lp in w_spec.layers
+        ],
+    )
+
+    def run(state: ServingState, ids, table_row, true_len, slot):
+        pg_spec = [
+            jax.tree.map(lambda _: P(None, tp_axis), pg) for pg in state.pages
+        ]
+        sm = shard_map(
+            body, mesh=mesh,
+            in_specs=(w_spec, pg_spec, P(), P(sp_axis), P(), P(), P()),
+            out_specs=(P(), pg_spec, P()),
+            check_vma=False,
+        )
+        tok, new_pages, flushed = sm(
+            params_sharded, state.pages, state.flushed, ids, table_row,
+            true_len, slot,
+        )
+        return tok, ServingState(
+            pages=new_pages, hot=state.hot, row=state.row, flushed=flushed
+        )
+
+    return jax.jit(run, donate_argnums=(0,))

@@ -83,3 +83,73 @@ def test_sp_prefill_matches_single_chip_and_decodes(mesh):
         CFG, SPEC,
     )
     assert int(tok2_a[0]) == int(tok2_b[0])
+
+
+def test_sp_tp_2d_prefill_matches_single_chip():
+    """2-D (sp x tp) prefill == single-chip prefill: same token, bitwise
+    pages; decode then continues on the TP step over the same tp axis."""
+    from jax.sharding import Mesh
+
+    from atom_tpu.serving.parallel import (
+        make_state_sharded,
+        make_tp_step_fns,
+        shard_serving_params,
+    )
+    from atom_tpu.serving.sp import make_sp_tp_prefill_fn
+
+    cfg = ModelConfig(
+        arch=Arch.LLAMA,
+        vocab_size=212,
+        hidden_size=512,
+        intermediate_size=1024,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,  # GQA; tp=2 -> 1 kv head per shard
+        head_dim=128,
+    )
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("sp", "tp"))
+    params = init_serving_params(jax.random.PRNGKey(7), cfg, SPEC)
+    n_pages = 8
+    rng = np.random.Generator(np.random.PCG64(8))
+    prompt = rng.integers(1, cfg.vocab_size, 41).astype(np.int32)
+    bucket = 64  # 32 tokens per sp shard
+    ids = np.zeros((bucket,), np.int32)
+    ids[: len(prompt)] = prompt
+    table_row = jnp.asarray([1, 2, 0, 0], jnp.int32)
+
+    state_a = make_serving_state(
+        cfg.num_layers, n_pages, 1, cfg.num_kv_heads, PAGE, cfg.head_dim
+    )
+    tok_a, state_a = prefill_step(
+        params, state_a, jnp.asarray(ids), table_row,
+        jnp.int32(len(prompt)), jnp.int32(0), cfg, SPEC,
+    )
+
+    sparams = shard_serving_params(params, cfg, mesh, axis="tp")
+    state_b = make_state_sharded(
+        cfg.num_layers, n_pages, 1, cfg.num_kv_heads, PAGE, cfg.head_dim,
+        mesh, axis="tp",
+    )
+    prefill_2d = make_sp_tp_prefill_fn(sparams, cfg, SPEC, mesh)
+    tok_b, state_b = prefill_2d(
+        state_b, jnp.asarray(ids), table_row,
+        jnp.int32(len(prompt)), jnp.int32(0),
+    )
+    assert int(tok_a) == int(tok_b)
+    for l in range(cfg.num_layers):
+        for a, b in zip(state_a.pages[l], state_b.pages[l]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # decode continues on the TP step functions over the same tp axis
+    _, decode_tp = make_tp_step_fns(sparams, cfg, SPEC, mesh, axis="tp")
+    table = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+    lens = jnp.asarray([len(prompt) + 1], jnp.int32)
+    tok2_a, _ = decode_step(
+        params, state_a, jnp.asarray([int(tok_a)], jnp.int32), table, lens,
+        cfg, SPEC,
+    )
+    tok2_b, _ = decode_tp(
+        state_b, jnp.asarray([int(tok_b)], jnp.int32), table, lens
+    )
+    assert int(tok2_a[0]) == int(tok2_b[0])
