@@ -288,9 +288,15 @@ def make_fn(variant: str, hb: int = 16):
         max_pages = page_table.shape[1]
         sm_scale = 1.0 / math.sqrt(d)
 
-        def page_of(i_b, i_h, i_p, pt, sl):
-            last = jnp.maximum(pl.cdiv(sl[i_b], s) - 1, 0)
-            return pt[i_b, jnp.minimum(i_p, last)]
+        if variant == "noclamp":
+            # straight page-table walk: isolates the cost of the clamped
+            # (revisit-dedup) index map; valid only when all seqs are full
+            def page_of(i_b, i_h, i_p, pt, sl):
+                return pt[i_b, i_p]
+        else:
+            def page_of(i_b, i_h, i_p, pt, sl):
+                last = jnp.maximum(pl.cdiv(sl[i_b], s) - 1, 0)
+                return pt[i_b, jnp.minimum(i_p, last)]
 
         grid = (b, h // hb, max_pages)
         kk = functools.partial(kern, head_block=hb, groups=groups,

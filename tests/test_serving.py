@@ -188,3 +188,83 @@ def test_engine_error_paths():
     small_pool = KvPool(TINY.num_layers, 2, TINY.num_kv_heads, PAGE, TINY.head_dim)
     with pytest.raises(RuntimeError, match="exhausted"):
         small_pool.alloc(5)
+
+
+def test_late_joining_sequence_flush_correctness():
+    """A request admitted mid-ring-window (nonzero ring row at prefill) must
+    decode correctly across the synchronized flush: its pending block spans
+    only part of the ring, and rows written before it joined must be masked.
+    """
+    from atom_tpu.serving.kvpool import SeqKvCache, batch_page_table
+    from atom_tpu.serving.model import decode_step, prefill_step
+
+    n_pages = 16
+    pool = KvPool(TINY.num_layers, n_pages, TINY.num_kv_heads, PAGE, TINY.head_dim)
+    params = init_serving_params(jax.random.PRNGKey(6), TINY, SPEC)
+    state = make_serving_state(
+        TINY.num_layers, n_pages, 2, TINY.num_kv_heads, PAGE, TINY.head_dim
+    )
+    rng = np.random.Generator(np.random.PCG64(12))
+    prompt_a = rng.integers(1, TINY.vocab_size, 19).astype(np.int32)
+    prompt_b = rng.integers(1, TINY.vocab_size, 11).astype(np.int32)
+
+    def prefill(slot, prompt, kv):
+        ids = np.zeros((32,), np.int32)
+        ids[: len(prompt)] = prompt
+        tr = np.zeros((4,), np.int32)
+        tr[: len(kv.page_ids)] = kv.page_ids
+        tok, st = prefill_step(
+            params, state, jnp.asarray(ids), jnp.asarray(tr),
+            jnp.int32(len(prompt)), jnp.int32(slot), TINY, SPEC,
+        )
+        return int(tok), st
+
+    # seq A joins at step 0; seq B joins 13 steps later (ring row 13)
+    kv_a = SeqKvCache(pool, len(prompt_a))
+    tok_a, state = prefill(0, prompt_a, kv_a)
+    gen_a = [tok_a]
+    gen_b = []
+    kv_b = None
+    ids = np.zeros((2,), np.int32)
+    n_steps = 45  # crosses the flush at step 32
+    for i in range(n_steps):
+        if i == 13:
+            kv_b = SeqKvCache(pool, len(prompt_b))
+            tok_b, state = prefill(1, prompt_b, kv_b)
+            gen_b.append(tok_b)
+        kv_a.acquire_one()
+        ids[0] = gen_a[-1]
+        if kv_b is not None:
+            kv_b.acquire_one()
+            ids[1] = gen_b[-1]
+        table, lens = batch_page_table([kv_a, kv_b], 4)
+        tok, state = decode_step(
+            params, state, jnp.asarray(ids), jnp.asarray(table),
+            jnp.asarray(lens), TINY, SPEC,
+            flush=((i + 1) % 32 == 0),
+        )
+        gen_a.append(int(tok[0]))
+        if kv_b is not None:
+            gen_b.append(int(tok[1]))
+
+    # both sequences reproduce fresh-prefill continuations (majority; see
+    # the quantization-boundary note in _run_decode_prefill_consistency)
+    mismatches = 0
+    checks = 0
+    for prompt, gen in ((prompt_a, gen_a), (prompt_b, gen_b)):
+        for k in (len(gen) - 6, len(gen) - 1):
+            kv2 = SeqKvCache(pool, len(prompt) + k)
+            ids2 = np.zeros((128,), np.int32)
+            seq = np.concatenate([prompt, np.asarray(gen[:k], np.int32)])
+            ids2[: len(seq)] = seq
+            tr2 = np.zeros((4,), np.int32)
+            tr2[: len(kv2.page_ids)] = kv2.page_ids
+            tok2, state = prefill_step(
+                params, state, jnp.asarray(ids2), jnp.asarray(tr2),
+                jnp.int32(len(seq)), jnp.int32(0), TINY, SPEC,
+            )
+            checks += 1
+            if int(tok2) != gen[k]:
+                mismatches += 1
+            kv2.release()
+    assert mismatches <= 1, f"{mismatches}/{checks} continuations diverged"
