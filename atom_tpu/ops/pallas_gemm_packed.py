@@ -303,7 +303,11 @@ def packed_w4_gemm(
     # 383 -> 340us at K=28672, N=8192, M=32).
     blocked = ng > _KBLK_THRESHOLD
     tm = min(tile_m, _round_up(m, 32))
-    tn = min(max(tile_n, 2048) if blocked else tile_n, _round_up(n, 128))
+    if blocked:
+        # wide n-tiles amortize pipeline flushes at decode M; prefill-size
+        # m-tiles must shrink them to stay under the 16MB scoped-VMEM stack
+        tile_n = max(tile_n, 2048) if tm <= 64 else min(tile_n, 512)
+    tn = min(tile_n, _round_up(n, 128))
     pad_m = _round_up(m, tm) - m
     pad_n = _round_up(n, tn) - n
     if pad_m:

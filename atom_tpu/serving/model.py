@@ -153,9 +153,33 @@ def _embed_lookup(embed: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(embed, ids, axis=0).astype(jnp.bfloat16)
 
 
-def _lm_head_logits(x: jnp.ndarray, lm_head: jnp.ndarray) -> jnp.ndarray:
+def quantize_lm_head(params: "ServingParams") -> "ServingParams":
+    """OPT-IN: group-128 INT4 weight-only lm_head (AWQ-style).
+
+    The reference (and our default) keeps the head fp16/bf16; this trades a
+    slight logits perturbation for 4x less head HBM traffic per decode step
+    (262 MB -> 66 MB at Llama-7B vocab, ~240 us/step on v5e).  Both prefill
+    and decode share the quantized head, so decode==prefill consistency is
+    preserved.
+    """
+    from atom_tpu.ops.pallas_gemm_w4a16 import quantize_w4a16
+
+    return params._replace(
+        lm_head=quantize_w4a16(params.lm_head.astype(jnp.float32))
+    )
+
+
+def _lm_head_logits(x: jnp.ndarray, lm_head) -> jnp.ndarray:
     """bf16 MXU head matmul (f32 accumulation inside the MXU).  Both prefill
-    and decode use this, so near-tie argmax decisions are identical."""
+    and decode use this, so near-tie argmax decisions are identical.
+    A ``W4A16Weight`` head (see ``quantize_lm_head``) runs the weight-only
+    INT4 kernel instead."""
+    from atom_tpu.ops.pallas_gemm_w4a16 import W4A16Weight, w4a16_gemm
+
+    if isinstance(lm_head, W4A16Weight):
+        return w4a16_gemm(
+            x.astype(jnp.bfloat16), lm_head, out_dtype=jnp.float32
+        )
     return jnp.dot(
         x.astype(jnp.bfloat16), lm_head, preferred_element_type=jnp.float32
     )

@@ -268,3 +268,50 @@ def test_late_joining_sequence_flush_correctness():
                 mismatches += 1
             kv2.release()
     assert mismatches <= 1, f"{mismatches}/{checks} continuations diverged"
+
+
+def test_quantized_lm_head_option():
+    """Opt-in W4A16 lm_head: logits stay close to the bf16 head and the
+    decode step runs end-to-end with the quantized head."""
+    from atom_tpu.serving.kvpool import SeqKvCache, batch_page_table
+    from atom_tpu.serving.model import (
+        _lm_head_logits,
+        decode_step,
+        prefill_step,
+        quantize_lm_head,
+    )
+
+    params = init_serving_params(jax.random.PRNGKey(2), TINY, SPEC)
+    qparams = quantize_lm_head(params)
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, TINY.hidden_size), jnp.bfloat16)
+    ref = np.asarray(_lm_head_logits(x, params.lm_head))
+    got = np.asarray(_lm_head_logits(x, qparams.lm_head))
+    # random-weight logits are near-zero sums; at this tiny K (2 quant
+    # groups) the INT4 error is relatively large — check direction + spread
+    err = np.abs(got - ref).mean() / (ref.std() + 1e-9)
+    cos = float((ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got)))
+    assert err < 0.15 and cos > 0.98, (err, cos)
+
+    # full prefill+decode runs with the quantized head
+    pool = KvPool(TINY.num_layers, 8, TINY.num_kv_heads, PAGE, TINY.head_dim)
+    state = make_serving_state(
+        TINY.num_layers, 8, 1, TINY.num_kv_heads, PAGE, TINY.head_dim
+    )
+    rng = np.random.Generator(np.random.PCG64(2))
+    prompt = rng.integers(1, TINY.vocab_size, 9).astype(np.int32)
+    ids = np.zeros((32,), np.int32)
+    ids[: len(prompt)] = prompt
+    kv = SeqKvCache(pool, len(prompt))
+    tr = np.zeros((4,), np.int32)
+    tr[: len(kv.page_ids)] = kv.page_ids
+    tok, state = prefill_step(
+        qparams, state, jnp.asarray(ids), jnp.asarray(tr),
+        jnp.int32(len(prompt)), jnp.int32(0), TINY, SPEC,
+    )
+    kv.acquire_one()
+    table, lens = batch_page_table([kv], 4)
+    tok2, state = decode_step(
+        qparams, state, jnp.asarray([int(tok)], jnp.int32),
+        jnp.asarray(table), jnp.asarray(lens), TINY, SPEC,
+    )
+    assert 0 <= int(tok2[0]) < TINY.vocab_size
