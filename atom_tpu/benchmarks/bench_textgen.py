@@ -52,7 +52,7 @@ def model_cfg(name: str, layers: int) -> ModelConfig:
     )
 
 
-def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32):
+def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32, head="bf16"):
     from atom_tpu.serving.kvpool import KvPool
     from atom_tpu.serving.model import (
         decode_burst,
@@ -62,6 +62,10 @@ def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32):
 
     spec = ATOM_W4A4
     params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    if head == "w4a16":
+        from atom_tpu.serving.model import quantize_lm_head
+
+        params = quantize_lm_head(params)
     page, maxp = 256, -(-(ctx + n_steps * 3 + 64) // 256)
     pool = KvPool(cfg.num_layers, batch * maxp + 1, cfg.num_kv_heads, page, cfg.head_dim)
     table = np.zeros((batch, maxp), np.int32)
@@ -181,6 +185,8 @@ def main(argv=None):
                     choices=["w4a4", "bf16", "w8a8", "w4a16"],
                     default=["w4a4", "bf16", "w8a8", "w4a16"])
     ap.add_argument("--engine", action="store_true")
+    ap.add_argument("--head", choices=["bf16", "w4a16"], default="bf16",
+                    help="lm_head precision for the w4a4 stack")
     ap.add_argument("--requests", type=int, default=64)
     args = ap.parse_args(argv)
 
@@ -200,7 +206,9 @@ def main(argv=None):
     for stack in args.stacks:
         t0 = time.perf_counter()
         if stack == "w4a4":
-            tok_s, per_step = burst_throughput_w4a4(cfg, args.batch, args.ctx)
+            tok_s, per_step = burst_throughput_w4a4(
+                cfg, args.batch, args.ctx, head=args.head
+            )
         else:
             tok_s, per_step = burst_throughput_baseline(
                 cfg, args.batch, args.ctx, stack
