@@ -66,7 +66,15 @@ def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32, head="bf16"):
         from atom_tpu.serving.model import quantize_lm_head
 
         params = quantize_lm_head(params)
-    page, maxp = 256, -(-(ctx + n_steps * 3 + 64) // 256)
+    from atom_tpu.ops.kv_hot import HOT_W
+
+    # Size the page table for the TOTAL steps the timing loop will advance:
+    # _slope_tok_s runs warmup(2 windows) + 3 rounds of (2 + n_hi) windows,
+    # each window = HOT_W decode steps.  decode_burst requires the table to
+    # pre-cover the whole burst (KV writes clamp into the last page otherwise).
+    n_hi = max(n_steps // HOT_W, 2) + 2
+    total_steps = (2 + 3 * (2 + n_hi)) * HOT_W
+    page, maxp = 256, -(-(ctx + total_steps + 64) // 256)
     pool = KvPool(cfg.num_layers, batch * maxp + 1, cfg.num_kv_heads, page, cfg.head_dim)
     table = np.zeros((batch, maxp), np.int32)
     for b in range(batch):
@@ -77,8 +85,6 @@ def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32, head="bf16"):
         cfg.head_dim,
     )._replace(flushed=jnp.full((batch,), ctx, jnp.int32))
     state = [mstate, jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
-
-    from atom_tpu.ops.kv_hot import HOT_W
 
     def run(n):  # n = ring WINDOWS of HOT_W steps each
         ids, st, lens = decode_burst(

@@ -91,7 +91,8 @@ class NativeScheduler:
         return self._lib.atom_sched_active(self._h)
 
     def admit(self, request_id: int, prompt_len: int, output_len: int) -> int:
-        """Returns the slot, or -1 (no slot) / -2 (pool exhausted)."""
+        """Returns the slot, or -1 (no slot) / -2 (pool exhausted) /
+        -3 (prompt+output exceeds max_pages_per_seq — request unservable)."""
         return self._lib.atom_sched_admit(
             self._h, request_id, prompt_len, output_len
         )
@@ -116,4 +117,8 @@ class NativeScheduler:
         )
         if n == -2:
             raise RuntimeError("KV pool exhausted during decode step")
+        if n == -3:
+            raise RuntimeError(
+                "sequence outgrew max_pages_per_seq during decode step"
+            )
         return self._table, self._lens, self._finished[:n].tolist()

@@ -61,7 +61,10 @@ int32_t atom_sched_free_pages(void* h) {
 }
 
 // Admit a request into a free slot.  Allocates pages for the prompt.
-// Returns the slot index, or -1 (no slot) / -2 (not enough pages).
+// Returns the slot index, or -1 (no slot) / -2 (not enough pages) /
+// -3 (prompt + output would exceed max_pages_per_seq — the table-row
+// buffers are sized to max_pages_per_seq, so admitting would overflow
+// them later).
 int32_t atom_sched_admit(void* h, int32_t request_id, int32_t prompt_len,
                          int32_t output_len) {
   auto* s = static_cast<Scheduler*>(h);
@@ -72,6 +75,7 @@ int32_t atom_sched_admit(void* h, int32_t request_id, int32_t prompt_len,
   if (slot < 0) return -1;
   const int32_t need = s->pages_for(prompt_len);
   if (need > static_cast<int32_t>(s->free_pages.size())) return -2;
+  if (s->pages_for(prompt_len + output_len) > s->max_pages_per_seq) return -3;
   Seq& q = s->slots[slot];
   q.request_id = request_id;
   q.remaining = output_len;
@@ -112,6 +116,11 @@ int32_t atom_sched_decode_step(void* h, int32_t* table_out, int32_t* lens_out,
     q.seqlen += 1;
     if (q.seqlen > static_cast<int32_t>(q.pages.size()) * s->page_size) {
       if (s->free_pages.empty()) return -2;
+      // Never outgrow the caller's [batch, max_pages_per_seq] buffers
+      // (atom_sched_admit bounds prompt+output, so this only trips on
+      // misuse; -3 instead of silent memory corruption).
+      if (static_cast<int32_t>(q.pages.size()) >= s->max_pages_per_seq)
+        return -3;
       q.pages.push_back(s->free_pages.back());
       s->free_pages.pop_back();
     }

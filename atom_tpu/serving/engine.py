@@ -136,6 +136,9 @@ class TextGenEngine:
                     jnp.int32(slot),
                 )
                 ids_dev = ids_dev.at[slot].set(tok)
+                # TTFT is stamped on DEVICE COMPLETION of the prefill (not
+                # async dispatch): block on the produced token first.
+                jax.block_until_ready(tok)
                 stats[r].first_token_t = time.perf_counter()
                 seq.remaining -= 1
                 if seq.remaining == 0:  # single-token outputs finish here
@@ -166,6 +169,12 @@ class TextGenEngine:
             )
             n_decode_steps += 1
 
+            # Tail-latency truthfulness: when any sequence finishes this step,
+            # block on the step's output before stamping finish_t, so decode
+            # p90 reflects device completion, not host dispatch rate.  Steps
+            # where nothing finishes stay fully async (pipelined dispatch).
+            if any(s is not None and s.remaining == 1 for s in workset):
+                jax.block_until_ready(ids_dev)
             now = time.perf_counter()
             for slot in range(bsz):
                 s = workset[slot]
@@ -173,7 +182,7 @@ class TextGenEngine:
                     continue
                 s.remaining -= 1
                 if s.remaining == 0:
-                    s.stat.finish_t = now  # approx: batched fetch below settles it
+                    s.stat.finish_t = now
                     s.kv.release()
                     workset[slot] = None
                     done += 1

@@ -244,23 +244,28 @@ def make_tp_step_fns(
         flushed=P(),
     )
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(w_spec, state_spec, P(), P(), P()),
-        out_specs=(P(), state_spec),
-        check_vma=False,
-    )
-    def decode_tp(p, state, ids, page_table, seq_lens):
+    def _decode_tp(p, state, ids, page_table, seq_lens, flush):
         local = unstack(p)
         hidden, new_state = decode_hidden(
             local, state, ids, page_table, seq_lens,
-            shard_cfg, spec, gather=gather,
+            shard_cfg, spec, gather=gather, flush=flush,
         )
         logits_local = jnp.dot(
             hidden.astype(jnp.bfloat16), local.lm_head,
             preferred_element_type=jnp.float32,
         )  # [B, V/tp]
         return shard_argmax(logits_local), new_state
+
+    def _make_decode_tp(flush: bool):
+        return functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(w_spec, state_spec, P(), P(), P()),
+            out_specs=(P(), state_spec),
+            check_vma=False,
+        )(functools.partial(_decode_tp, flush=flush))
+
+    decode_tp_flush = _make_decode_tp(True)
+    decode_tp_noflush = _make_decode_tp(False)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -287,8 +292,27 @@ def make_tp_step_fns(
         return shard_argmax(logits_local)[0], new_state
 
     @functools.partial(jax.jit, donate_argnums=(0,))
+    def decode_jit_flush(state, ids, page_table, seq_lens):
+        return decode_tp_flush(params_sharded, state, ids, page_table, seq_lens)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def decode_jit_noflush(state, ids, page_table, seq_lens):
+        return decode_tp_noflush(
+            params_sharded, state, ids, page_table, seq_lens
+        )
+
+    # Same host-side flush cadence as the single-chip ``make_step_fns``: the
+    # ring wraps every HOT_W decode steps, so the W-th call MUST run the
+    # flush variant or the ring silently overwrites unflushed KV.
+    from atom_tpu.ops.kv_hot import HOT_W
+
+    counter = {"n": 0}
+
     def decode_fn(state, ids, page_table, seq_lens):
-        return decode_tp(params_sharded, state, ids, page_table, seq_lens)
+        counter["n"] += 1
+        if counter["n"] % HOT_W == 0:
+            return decode_jit_flush(state, ids, page_table, seq_lens)
+        return decode_jit_noflush(state, ids, page_table, seq_lens)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def prefill_fn(state, ids, table_row, true_len, slot):

@@ -31,15 +31,25 @@ def _keypaths(tree):
     ]
 
 
+_DTYPES_KEY = "__saved_dtypes__"
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
+    dtypes = {}
     for key, leaf in zip(_keypaths(tree), jax.tree_util.tree_leaves(tree)):
         arr = np.asarray(leaf)
-        # bf16 has no portable npz dtype; store the raw bits (restore casts
-        # back through the `like` leaf's dtype).
+        dtypes[key] = str(arr.dtype)
+        # bf16 has no portable npz dtype; store the raw bits (restore views
+        # back through the RECORDED dtype, never the target leaf's).
         if arr.dtype == jax.numpy.bfloat16:
             arr = arr.view(np.uint16)
         flat[key] = arr
+    # Leaf dtypes ride along in the archive so restore can decode bit-views
+    # and detect dtype drift instead of reinterpreting raw bits.
+    flat[_DTYPES_KEY] = np.frombuffer(
+        json.dumps(dtypes).encode(), dtype=np.uint8
+    )
     return flat
 
 
@@ -48,17 +58,31 @@ def save_pytree(path: str, tree) -> None:
 
 
 def restore_pytree(path: str, like):
-    """Restore into the structure of ``like`` (keypaths must match)."""
+    """Restore into the structure of ``like`` (keypaths must match).
+
+    Each saved leaf is first decoded through its RECORDED dtype (so bf16
+    bit-views are always undone, even if the target leaf's dtype drifted),
+    then cast to the target leaf's dtype.
+    """
     data = np.load(path)
     keys = _keypaths(like)
-    assert set(keys) == set(data.files), (
-        f"checkpoint keys mismatch: {set(keys) ^ set(data.files)}"
+    saved_dtypes = {}
+    files = set(data.files)
+    if _DTYPES_KEY in files:
+        saved_dtypes = json.loads(bytes(data[_DTYPES_KEY]).decode())
+        files.discard(_DTYPES_KEY)
+    assert set(keys) == files, (
+        f"checkpoint keys mismatch: {set(keys) ^ files}"
     )
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     new_leaves = []
     for k, l in zip(keys, leaves_like):
         arr = data[k]
-        if l.dtype == jax.numpy.bfloat16:
+        saved = saved_dtypes.get(k)
+        if saved == "bfloat16":
+            arr = arr.view("uint16").view(jax.numpy.bfloat16)
+        elif saved is None and l.dtype == jax.numpy.bfloat16:
+            # legacy checkpoint (no dtype sidecar): old behavior
             arr = arr.view("uint16").view(jax.numpy.bfloat16)
         new_leaves.append(jax.numpy.asarray(arr).astype(l.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

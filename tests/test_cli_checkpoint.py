@@ -50,3 +50,23 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(idx["layer0"]), np.asarray(idx2["layer0"]))
+
+
+def test_restore_dtype_drift_is_safe(tmp_path):
+    """A leaf saved as bf16 restored into an f32-dtyped target must decode
+    through the RECORDED dtype, not reinterpret raw uint16 bits (advisor
+    round-1 low)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atom_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+    tree = {"w": jnp.asarray([1.5, -2.25, 3.0], jnp.bfloat16)}
+    path = str(tmp_path / "t.npz")
+    save_pytree(path, tree)
+    like_f32 = {"w": jnp.zeros((3,), jnp.float32)}
+    out = restore_pytree(path, like_f32)
+    np.testing.assert_allclose(
+        np.asarray(out["w"]), [1.5, -2.25, 3.0], rtol=1e-2
+    )
+    assert out["w"].dtype == jnp.float32

@@ -68,3 +68,14 @@ def test_native_rejects_overflow():
     assert nat.admit(1, 300, 5) == -2  # needs 3, only 2 free
     assert nat.admit(1, 50, 5) >= 0    # 1 page fits
     assert nat.admit(2, 50, 5) == -1   # no slot left
+
+
+def test_native_rejects_unservable_request():
+    """prompt+output needing more than max_pages_per_seq pages -> -3 (the
+    table-row buffers are sized to max_pages_per_seq; admitting would
+    overflow them mid-generation)."""
+    nat = NativeScheduler(2, 40, 128, 4)  # max 4*128 = 512 tokens/seq
+    assert nat.admit(0, 500, 100) == -3          # 600 tokens > 512
+    assert nat.admit(1, 400, 100) >= 0           # 500 tokens fits
+    # pool has plenty of pages, so only the bound rejects
+    assert nat.admit(2, 513, 1) == -3

@@ -105,3 +105,64 @@ def test_tp_decode_and_prefill_match_single_chip(mesh, cfg):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
         for a, b_ in zip(state.hot[l], sstate.hot[l]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_tp_decode_matches_through_ring_flush(mesh):
+    """Generations longer than the hot-ring window (HOT_W=32) must still match
+    single-chip: the TP decode path has to run the flush variant on every
+    W-th step or the ring wraps over unflushed KV (advisor round-1 high)."""
+    from atom_tpu.ops.kv_hot import HOT_W
+    from atom_tpu.serving.model import make_step_fns
+
+    cfg = GQA_CFG
+    params = init_serving_params(jax.random.PRNGKey(2), cfg, SPEC)
+    n_pages, batch = 8, 2
+    rng = np.random.Generator(np.random.PCG64(7))
+    prompt = rng.integers(1, cfg.vocab_size, 20).astype(np.int32)
+    ids = np.zeros((32,), np.int32)
+    ids[: len(prompt)] = prompt
+    n_steps = HOT_W + 6  # crosses one flush boundary
+
+    # --- single chip (reference cadence via make_step_fns) ---
+    state = make_serving_state(
+        cfg.num_layers, n_pages, batch, cfg.num_kv_heads, PAGE, cfg.head_dim
+    )
+    prefill_s, decode_s = make_step_fns(params, cfg, SPEC)
+    table_row = jnp.asarray([1, 2], jnp.int32)
+    tok, state = prefill_s(
+        state, jnp.asarray(ids), table_row, jnp.int32(len(prompt)), jnp.int32(0)
+    )
+    table = jnp.asarray([[1, 2], [0, 0]], jnp.int32)
+    toks_s = [int(tok)]
+    lens = len(prompt)
+    ids_b = jnp.asarray([int(tok), 0], jnp.int32)
+    for i in range(n_steps):
+        lens += 1
+        tok_b, state = decode_s(
+            state, ids_b, table, jnp.asarray([lens, 0], jnp.int32)
+        )
+        toks_s.append(int(tok_b[0]))
+        ids_b = jnp.asarray([int(tok_b[0]), 0], jnp.int32)
+
+    # --- tensor parallel ---
+    sparams = shard_serving_params(params, cfg, mesh)
+    sstate = make_state_sharded(
+        cfg.num_layers, n_pages, batch, cfg.num_kv_heads, PAGE, cfg.head_dim,
+        mesh,
+    )
+    prefill_tp, decode_tp = make_tp_step_fns(sparams, cfg, SPEC, mesh)
+    tok, sstate = prefill_tp(
+        sstate, jnp.asarray(ids), table_row, jnp.int32(len(prompt)), jnp.int32(0)
+    )
+    toks_t = [int(tok)]
+    lens = len(prompt)
+    ids_b = jnp.asarray([int(tok), 0], jnp.int32)
+    for i in range(n_steps):
+        lens += 1
+        tok_b, sstate = decode_tp(
+            sstate, ids_b, table, jnp.asarray([lens, 0], jnp.int32)
+        )
+        toks_t.append(int(tok_b[0]))
+        ids_b = jnp.asarray([int(tok_b[0]), 0], jnp.int32)
+
+    assert toks_t == toks_s
