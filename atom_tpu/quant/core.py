@@ -96,7 +96,11 @@ def quantize_groups(
         qmin, qmax = 0, 2**bits - 1
         scale, zero = compute_scale_asym(w32, bits, clip_ratio)
         codes = jnp.clip(jnp.round(w32 / scale) + zero, qmin, qmax)
-    return GroupQuant(codes.astype(jnp.int8), scale, zero)
+    # int8 covers sym codes at any bits<=8 and asym codes at bits<=7; asym
+    # 8-bit codes reach 255 and need a wider carrier (caught by the
+    # differential test vs the reference's quantize_tensor).
+    code_dtype = jnp.int8 if (sym or bits <= 7) else jnp.int16
+    return GroupQuant(codes.astype(code_dtype), scale, zero)
 
 
 def dequantize_groups(q: GroupQuant, dtype=jnp.float32) -> jnp.ndarray:
