@@ -96,8 +96,9 @@ def bench_decode(quick: bool):
         pages = pages._replace(
             k_pages=jax.random.randint(key, pages.k_pages.shape, -128, 127, jnp.int8),
             v_pages=jax.random.randint(key, pages.v_pages.shape, -128, 127, jnp.int8),
-            k_params=jax.random.uniform(key, pages.k_params.shape, jnp.float32, 0.01, 0.1),
-            v_params=jax.random.uniform(key, pages.v_params.shape, jnp.float32, 0.01, 0.1),
+            params=jax.random.uniform(
+                key, pages.params.shape, jnp.float32, 0.01, 0.1
+            ).astype(jnp.bfloat16),
         )
         table = jnp.arange(1, n_pages).reshape(B, maxp).astype(jnp.int32)
         lens = jnp.full((B,), ctx, jnp.int32)
@@ -106,7 +107,7 @@ def bench_decode(quick: bool):
             lambda q_: paged_decode_attention_rotated(q_, pages, table, lens),
             [q], iters=30,
         )
-        kv_bytes = B * ctx * H * D + B * ctx * H * 16  # 4-bit K+V + params
+        kv_bytes = B * ctx * H * D + B * ctx * H * 8  # 4-bit K+V + bf16 params
         row(f"paged_decode_attn B={B} H={H} ctx={ctx}", dt, kv_bytes)
 
 

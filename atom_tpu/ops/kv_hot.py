@@ -149,9 +149,9 @@ def merge_attention(
 
 def hot_flush_blocks(hot: HotKV, row_now: jnp.ndarray):
     """Ring contents in POSITION order, shaped for ``flush_hot_pallas``:
-    (k_flush [B,H,D/2,W] channel-packed, k_prm [B,H,2,W],
-     v_flush [B,H,W,D] unpacked, v_prm [B,H,2,W])."""
-    from atom_tpu.ops.kv_layout import pack_channel_planes
+    (k_flush [B,H,D/2,W] channel-packed, prm_flush bf16 [B,4,H,W] merged
+    affine rows, v_flush [B,H,W,D] unpacked)."""
+    from atom_tpu.ops.kv_layout import merge_params, pack_channel_planes
 
     b, h, w, d = hot.k_codes.shape
     shift = -(row_now + 1)
@@ -164,4 +164,5 @@ def hot_flush_blocks(hot: HotKV, row_now: jnp.ndarray):
         return p.transpose(0, 3, 2, 1)
 
     k_flush = pack_channel_planes(jnp.swapaxes(ok, 2, 3))  # [B, H, D/2, W]
-    return k_flush, prm(okp), ov, prm(ovp)
+    prm_flush = merge_params(prm(okp), prm(ovp))  # [B, 4, H, W] bf16
+    return k_flush, prm_flush, ov

@@ -12,9 +12,19 @@ chosen by measurement:
   * ``v_pages``  int8 [P, H, S/2, D]  — SLOT-major slot-plane nibbles: byte
     (r, d) holds slots ``r`` and ``r + S/2`` of channel ``d``; unpacks into
     the true ``V [S, D]`` the probs.V dot consumes.
-  * ``k_params`` / ``v_params``  f32 [P, H, 2, S] — row 0 = scale, row 1 =
-    zero_val (dequant ``x = code * scale + zero_val``), lane-indexed by slot
-    so the kernel's affine corrections broadcast over sublanes.
+  * ``params``   bf16 [P, 4, H, S] — ONE dense array holding all four affine
+    rows (0 = k_scale, 1 = k_zero_val, 2 = v_scale, 3 = v_zero_val; dequant
+    ``x = code * scale + zero_val``), lane-indexed by slot.
+
+    Round-1 stored two f32 [P, H, 2, S] arrays; their 2-wide sublane dim
+    tiles to 8 on TPU, so every decode step DMA'd 4x the logical param
+    bytes (67 MB physical vs 17 MB logical per call at bs32/ctx1024 —
+    measured as the dominant gap between the kernel's DMA floor and the
+    HBM roofline).  The merged bf16 layout is dense (4H sublanes) and half
+    the width: params drop from ~33%% of attention traffic to ~6%%.
+    Scale/zero_val are bf16-rounded AT QUANTIZATION TIME (see
+    ``reference.quantize_kv_asym``), so prefill math, the hot ring, and the
+    paged kernel all see identical values — decode == prefill is preserved.
 
 Pages receive NO per-token writes: decode tokens accumulate in the dense hot
 ring (``kv_hot``) and land here in W-aligned bulk blocks
@@ -41,10 +51,9 @@ from atom_tpu.quant.packing import unpack_uint4
 class KVPages(NamedTuple):
     """One layer's paged quantized KV cache in the kernel layout."""
 
-    k_pages: jnp.ndarray   # int8 [P, H, D//2, S]  (channel-plane)
-    k_params: jnp.ndarray  # f32  [P, H, 2, S]
-    v_pages: jnp.ndarray   # int8 [P, H, S//2, D]  (slot-plane)
-    v_params: jnp.ndarray  # f32  [P, H, 2, S]
+    k_pages: jnp.ndarray  # int8 [P, H, D//2, S]  (channel-plane)
+    v_pages: jnp.ndarray  # int8 [P, H, S//2, D]  (slot-plane)
+    params: jnp.ndarray   # bf16 [P, 4, H, S]  (k_scale, k_zero, v_scale, v_zero)
 
     @property
     def n_pages(self) -> int:
@@ -69,9 +78,8 @@ def make_kv_pages_kernel(
     assert page_size % 2 == 0 and head_dim % 2 == 0
     return KVPages(
         k_pages=jnp.zeros((n_pages, kv_heads, head_dim // 2, page_size), jnp.int8),
-        k_params=jnp.zeros((n_pages, kv_heads, 2, page_size), jnp.float32),
         v_pages=jnp.zeros((n_pages, kv_heads, page_size // 2, head_dim), jnp.int8),
-        v_params=jnp.zeros((n_pages, kv_heads, 2, page_size), jnp.float32),
+        params=jnp.zeros((n_pages, 4, kv_heads, page_size), jnp.bfloat16),
     )
 
 
@@ -97,6 +105,18 @@ def _unpack_planes(pb: jnp.ndarray) -> jnp.ndarray:
     lo = (b & 0x0F).astype(jnp.int8)
     hi = (b >> 4).astype(jnp.int8)
     return jnp.concatenate([lo, hi], axis=-2)
+
+
+def merge_params(
+    k_prm: jnp.ndarray, v_prm: jnp.ndarray
+) -> jnp.ndarray:
+    """(k_prm [..., H, 2, S], v_prm [..., H, 2, S]) -> merged [..., 4, H, S]."""
+    rows = jnp.stack(
+        [k_prm[..., :, 0, :], k_prm[..., :, 1, :],
+         v_prm[..., :, 0, :], v_prm[..., :, 1, :]],
+        axis=-3,
+    )  # [..., 4, H, S]
+    return rows.astype(jnp.bfloat16)
 
 
 def append_kv_prefill_kernel(
@@ -127,16 +147,16 @@ def append_kv_prefill_kernel(
 
     k_bytes = pack_channel_planes(kc.transpose(0, 2, 3, 1))  # [P, H, D/2, S]
     v_bytes = pack_slot_planes(vc.transpose(0, 2, 1, 3))     # [P, H, S/2, D]
-    kprm = kp.transpose(0, 2, 3, 1)  # [P, H, 2, S]
-    vprm = vp.transpose(0, 2, 3, 1)
+    prm = merge_params(
+        kp.transpose(0, 2, 3, 1), vp.transpose(0, 2, 3, 1)
+    )  # [P, 4, H, S]
 
     def body(i, pg: KVPages):
         dest = page_table_row[i]
         return KVPages(
             jax.lax.dynamic_update_slice(pg.k_pages, k_bytes[i][None], (dest, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(pg.k_params, kprm[i][None], (dest, 0, 0, 0)),
             jax.lax.dynamic_update_slice(pg.v_pages, v_bytes[i][None], (dest, 0, 0, 0)),
-            jax.lax.dynamic_update_slice(pg.v_params, vprm[i][None], (dest, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(pg.params, prm[i][None], (dest, 0, 0, 0)),
         )
 
     return jax.lax.fori_loop(0, n_full, body, pages)
@@ -157,9 +177,11 @@ def kv_pages_from_reference(
     v_codes = unpack_uint4(v_pages_ref)
     return KVPages(
         k_pages=pack_channel_planes(jnp.swapaxes(k_codes, -1, -2)),
-        k_params=jnp.swapaxes(k_params_ref, -1, -2),
         v_pages=pack_slot_planes(v_codes),
-        v_params=jnp.swapaxes(v_params_ref, -1, -2),
+        params=merge_params(
+            jnp.swapaxes(k_params_ref, -1, -2),
+            jnp.swapaxes(v_params_ref, -1, -2),
+        ),
     )
 
 
@@ -167,9 +189,7 @@ def kv_codes_from_kernel(pages: KVPages) -> Tuple[jnp.ndarray, ...]:
     """Kernel layout -> (k_codes [P,H,S,D], k_params [P,H,S,2], v_codes, v_params)."""
     k_codes = jnp.swapaxes(_unpack_planes(pages.k_pages), -1, -2)
     v_codes = _unpack_planes(pages.v_pages)
-    return (
-        k_codes,
-        jnp.swapaxes(pages.k_params, -1, -2),
-        v_codes,
-        jnp.swapaxes(pages.v_params, -1, -2),
-    )
+    prm = pages.params.astype(jnp.float32)  # [P, 4, H, S]
+    k_params = jnp.stack([prm[:, 0], prm[:, 1]], axis=-1)  # [P, H, S, 2]
+    v_params = jnp.stack([prm[:, 2], prm[:, 3]], axis=-1)
+    return (k_codes, k_params, v_codes, v_params)

@@ -22,6 +22,18 @@ FlashInfer fork (``BatchDecodeWithPagedKVCacheKernel``,
     — one MXU dot on raw codes plus two lane-wise multiply-adds.  V's dequant
     folds into the probability vector (``(p * vscale) @ codes + rowsum(p *
     vzero)``), so V pages stay SLOT-major ([P, H, S/2, D], standard dot).
+  * Affine params ride in ONE dense bf16 array ([P, 4, H, S]) — round-1's
+    two f32 [P, H, 2, S] arrays tiled their 2-wide sublane dim to 8, so the
+    kernel DMA'd 4x the logical param bytes; measured as the bulk of the gap
+    between the DMA floor and the HBM roofline.
+  * v2 compute structure (2x whole-kernel speedup, measured): per-head MXU
+    dots write into a shared [Hb*G, S] scratch, then the ENTIRE softmax /
+    affine / accumulate chain runs once vectorized over the head block.  The
+    round-1 kernel ran that chain per head on [1, S] slices — ~450
+    one-sublane VPU ops per grid step that never hid behind the DMAs.
+  * K score dots run in bf16: q arrives bf16 and u4 codes are integers, so
+    every product is exact and the MXU accumulates in f32 — bitwise-stable
+    vs the f32 path.  V dots stay f32 (p would genuinely lose precision).
   * Online softmax carried in VMEM scratch across the page-grid axis; the
     final (m, l) state is exported so the caller can merge a dense attention
     over the hot decode ring (``kv_hot``) — pages receive NO per-token writes
@@ -54,11 +66,10 @@ def _decode_kernel(
     pt_ref,  # int32 [B, max_pages]
     sl_ref,  # int32 [B] — FLUSHED length per sequence
     # inputs
-    q_ref,     # [1, Hb*G, D] bf16/f32 — RoPE'd queries
+    q_ref,     # [1, Hb*G, D] bf16 — RoPE'd queries
     kp_ref,    # int8 [1, Hb, D/2, S] — channel-plane u4 codes (post-RoPE)
-    kprm_ref,  # f32 [1, Hb, 2, S]
+    prm_ref,   # bf16 [1, 4, Hb, S] — k_scale / k_zero / v_scale / v_zero
     vp_ref,    # int8 [1, Hb, S/2, D] — slot-plane u4 codes
-    vprm_ref,  # f32 [1, Hb, 2, S]
     # outputs
     o_ref,     # [1, Hb*G, D]
     mo_ref,    # f32 [1, Hb*G, 128]
@@ -67,6 +78,8 @@ def _decode_kernel(
     acc_ref,   # f32 [Hb*G, D]
     m_ref,     # f32 [Hb*G, 128]
     l_ref,     # f32 [Hb*G, 128]
+    sc_ref,    # f32 [Hb*G, S] — raw q.codes dots
+    pv_ref,    # f32 [Hb*G, D] — p.V dots
     *,
     head_block: int,
     groups: int,
@@ -78,6 +91,8 @@ def _decode_kernel(
     n_blocks = pl.num_programs(2)
     seq_len = sl_ref[b]
     s = page_size
+    g = groups
+    r_all = head_block * g
 
     @pl.when(i == 0)
     def _init():
@@ -89,68 +104,75 @@ def _decode_kernel(
     def _process():
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
         valid = (i * s + lane) < seq_len  # [1, S]
+        q_all = q_ref[0]  # [Hb*G, D] bf16
+        dh = q_all.shape[1] // 2
 
+        # Per-head MXU dots into the shared score scratch (bf16: exact for
+        # u4 codes x bf16 q; accumulation f32 in the MXU).  Two nibble-plane
+        # dots per head — channel rows [0, D/2) are the low nibble.
         for hh in range(head_block):
-            kb = kp_ref[0, hh].astype(jnp.int32)  # [D/2, S]
-            # two per-nibble-plane dots instead of concat-to-[D,S]: channel
-            # rows [0, D/2) live in the low nibble, [D/2, D) in the high.
-            # (bf16 dots measured within noise of f32 here but fail the
-            # prefill-consistency tolerance; f32 keeps decode == prefill.)
-            k_lo = (kb & 0x0F).astype(jnp.float32)
-            k_hi = ((kb >> 4) & 0x0F).astype(jnp.float32)
-            r0 = hh * groups
-            q_h = q_ref[0, r0 : r0 + groups, :].astype(jnp.float32)  # [G, D]
-            q_sum = jnp.sum(q_h, axis=1, keepdims=True)  # [G, 1]
-            dhalf = q_h.shape[1] // 2
-            dot = jax.lax.dot_general(
-                q_h[:, :dhalf], k_lo,
+            kb = kp_ref[0, hh]  # int8 [D/2, S]
+            k_lo = (kb & 0x0F).astype(jnp.bfloat16)
+            k_hi = ((kb.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.bfloat16)
+            q_h = q_all[hh * g : (hh + 1) * g, :]
+            sc_ref[hh * g : (hh + 1) * g, :] = jax.lax.dot_general(
+                q_h[:, :dh], k_lo,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + jax.lax.dot_general(
-                q_h[:, dhalf:], k_hi,
+                q_h[:, dh:], k_hi,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [G, S]
-            k_scale = kprm_ref[0, hh, 0:1, :]  # [1, S]
-            k_zero = kprm_ref[0, hh, 1:2, :]
-            scores = (dot * k_scale + q_sum * k_zero) * sm_scale
-            scores = jnp.where(valid, scores, _NEG_INF)
+            )
 
-            m_prev = m_ref[r0 : r0 + groups, 0:1]
-            l_prev = l_ref[r0 : r0 + groups, 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # [G, S]
-            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        prm = prm_ref[0]  # [4, Hb, S] bf16
 
-            vb = vp_ref[0, hh].astype(jnp.int32)  # [S/2, D]
+        def rep(x):  # [Hb, S] -> [Hb*G, S] (f32)
+            x = x.astype(jnp.float32)
+            if g == 1:
+                return x
+            return jnp.broadcast_to(
+                x[:, None, :], (head_block, g, s)
+            ).reshape(r_all, s)
+
+        # Whole-block softmax chain (one vectorized pass over all heads).
+        k_scale = rep(prm[0])
+        k_zero = rep(prm[1])
+        q_sum = jnp.sum(q_all.astype(jnp.float32), axis=1, keepdims=True)
+        scores = (sc_ref[:] * k_scale + q_sum * k_zero) * sm_scale
+        scores = jnp.where(valid, scores, _NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # [Hb*G, S]
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        v_scale = rep(prm[2])
+        v_zero = rep(prm[3])
+        pw = p * v_scale
+        half = s // 2
+        for hh in range(head_block):
+            vb = vp_ref[0, hh]  # int8 [S/2, D]
             # slot rows [0, S/2) are the low nibble, [S/2, S) the high
             v_lo = (vb & 0x0F).astype(jnp.float32)
-            v_hi = ((vb >> 4) & 0x0F).astype(jnp.float32)
-            v_scale = vprm_ref[0, hh, 0:1, :]
-            v_zero = vprm_ref[0, hh, 1:2, :]
-            pw = p * v_scale  # [G, S]
-            half = pw.shape[1] // 2
-            pv = jax.lax.dot_general(
-                pw[:, :half], v_lo,
+            v_hi = ((vb.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
+            pw_h = pw[hh * g : (hh + 1) * g, :]
+            pv_ref[hh * g : (hh + 1) * g, :] = jax.lax.dot_general(
+                pw_h[:, :half], v_lo,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + jax.lax.dot_general(
-                pw[:, half:], v_hi,
+                pw_h[:, half:], v_hi,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [G, D]
-            z_corr = jnp.sum(p * v_zero, axis=1, keepdims=True)
+            )
+        z_corr = jnp.sum(p * v_zero, axis=1, keepdims=True)
 
-            acc_ref[r0 : r0 + groups, :] = (
-                acc_ref[r0 : r0 + groups, :] * alpha + pv + z_corr
-            )
-            m_ref[r0 : r0 + groups, :] = jnp.broadcast_to(
-                m_new, (groups, m_ref.shape[1])
-            )
-            l_ref[r0 : r0 + groups, :] = jnp.broadcast_to(
-                l_new, (groups, l_ref.shape[1])
-            )
+        acc_ref[:] = acc_ref[:] * alpha + pv_ref[:] + z_corr
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(i == n_blocks - 1)
     def _finalize():
@@ -169,7 +191,7 @@ def paged_decode_attention_rotated(
     pages: KVPages,  # K pages hold POST-RoPE codes
     page_table: jnp.ndarray,  # int32 [B, max_pages]
     seq_lens: jnp.ndarray,  # int32 [B] — FLUSHED tokens per sequence
-    head_block: int = 16,
+    head_block: int = 32,
     out_dtype=jnp.bfloat16,
     return_state: bool = False,
     interpret: bool = False,
@@ -224,15 +246,11 @@ def paged_decode_attention_rotated(
                     lambda ib, ih, ip, pt, sl: (page_of(ib, ih, ip, pt, sl), ih, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, hb, 2, s),
-                    lambda ib, ih, ip, pt, sl: (page_of(ib, ih, ip, pt, sl), ih, 0, 0),
+                    (1, 4, hb, s),
+                    lambda ib, ih, ip, pt, sl: (page_of(ib, ih, ip, pt, sl), 0, ih, 0),
                 ),
                 pl.BlockSpec(
                     (1, hb, s // 2, d),
-                    lambda ib, ih, ip, pt, sl: (page_of(ib, ih, ip, pt, sl), ih, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, hb, 2, s),
                     lambda ib, ih, ip, pt, sl: (page_of(ib, ih, ip, pt, sl), ih, 0, 0),
                 ),
             ],
@@ -251,6 +269,8 @@ def paged_decode_attention_rotated(
                 pltpu.VMEM((hb * groups, d), jnp.float32),
                 pltpu.VMEM((hb * groups, 128), jnp.float32),
                 pltpu.VMEM((hb * groups, 128), jnp.float32),
+                pltpu.VMEM((hb * groups, s), jnp.float32),
+                pltpu.VMEM((hb * groups, d), jnp.float32),
             ],
         ),
         out_shape=[
@@ -262,8 +282,7 @@ def paged_decode_attention_rotated(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_table, seq_lens, q, pages.k_pages, pages.k_params,
-      pages.v_pages, pages.v_params)
+    )(page_table, seq_lens, q, pages.k_pages, pages.params, pages.v_pages)
     if return_state:
         return out, m[:, :, 0], l[:, :, 0]
     return out
@@ -281,11 +300,10 @@ def _flush_kernel(
     lo_ref,     # int32 [B] — first valid global slot (= flushed before flush)
     hi_ref,     # int32 [B] — one past last valid global slot (= lens)
     kfl_ref,    # int8 [1, H, D/2, W] — channel-plane packed K, position order
-    kpf_ref,    # f32 [1, H, 2, W]
+    prmf_ref,   # bf16 [1, 4, H, W] — merged affine rows, position order
     vfl_ref,    # int8 [1, H, W, D] — UNPACKED u4 V codes, position order
-    vpf_ref,    # f32 [1, H, 2, W]
-    kpi_ref, kri_ref, vpi_ref, vri_ref,   # aliased page blocks (in)
-    kpo_ref, kro_ref, vpo_ref, vro_ref,   # aliased page blocks (out)
+    kpi_ref, prmi_ref, vpi_ref,   # aliased page blocks (in)
+    kpo_ref, prmo_ref, vpo_ref,   # aliased page blocks (out)
     *,
     w: int,
     page_size: int,
@@ -311,17 +329,18 @@ def _flush_kernel(
     g = slot0 + base + lane  # global slot per lane of THIS page
     valid = (g >= lo) & (g < hi)  # [1, 1, S]
 
-    def lanes(fl_ref, pi_ref, po_ref, as_i32=False):
-        fl = fl_ref[0].astype(jnp.int32) if as_i32 else fl_ref[0]
-        fl = jnp.pad(fl, ((0, 0), (0, 0), (0, 2 * s - w)))  # [H, rows, 2S]
+    def lanes(fl_ref, pi_ref, po_ref, via_i32=False):
+        """Roll the W-lane flush block into page lanes (32-bit roll only)."""
+        fl = fl_ref[0]
+        orig_dtype = fl.dtype
+        fl = fl.astype(jnp.int32) if via_i32 else fl.astype(jnp.float32)
+        fl = jnp.pad(fl, ((0, 0), (0, 0), (0, 2 * s - w)))  # [R0, R1, 2S]
         rolled = pltpu.roll(fl, o, 2)[:, :, base : base + s]
-        if as_i32:
-            rolled = rolled.astype(jnp.int8)
+        rolled = rolled.astype(orig_dtype)
         po_ref[0] = jnp.where(valid, rolled, pi_ref[0])
 
-    lanes(kfl_ref, kpi_ref, kpo_ref, as_i32=True)
-    lanes(kpf_ref, kri_ref, kro_ref)
-    lanes(vpf_ref, vri_ref, vro_ref)
+    lanes(kfl_ref, kpi_ref, kpo_ref, via_i32=True)
+    lanes(prmf_ref, prmi_ref, prmo_ref)
 
     # V codes: two nibble-half regions, each a circular row roll of the
     # unpacked block plus a global-slot row mask and a nibble merge.
@@ -350,9 +369,8 @@ def _flush_kernel(
 def flush_hot_pallas(
     pages: KVPages,
     k_flush: jnp.ndarray,   # int8 [B, H, D/2, W] channel-plane packed
-    k_prm: jnp.ndarray,     # f32 [B, H, 2, W]
+    prm_flush: jnp.ndarray,  # bf16 [B, 4, H, W] merged affine rows
     v_flush: jnp.ndarray,   # int8 [B, H, W, D] unpacked u4
-    v_prm: jnp.ndarray,     # f32 [B, H, 2, W]
     page_a: jnp.ndarray,    # int32 [B] — page of scratch lanes [0, S) (0 = sink)
     page_b: jnp.ndarray,    # int32 [B] — page of scratch lanes [S, 2S) (0 = sink)
     slot0: jnp.ndarray,     # int32 [B] — global slot of page_a lane 0
@@ -380,9 +398,8 @@ def flush_hot_pallas(
         )
         page_specs = [
             pl.BlockSpec((1, h, dhalf, s), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
-            pl.BlockSpec((1, h, 2, s), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
+            pl.BlockSpec((1, 4, h, s), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
             pl.BlockSpec((1, h, s // 2, d), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
-            pl.BlockSpec((1, h, 2, s), lambda bi, pgr, *_: (pgr[bi], 0, 0, 0)),
         ]
         out = pl.pallas_call(
             kernel,
@@ -391,28 +408,26 @@ def flush_hot_pallas(
                 grid=(bsz,),
                 in_specs=[
                     pl.BlockSpec((1, h, dhalf, w), lambda bi, *_: (bi, 0, 0, 0)),
-                    pl.BlockSpec((1, h, 2, w), lambda bi, *_: (bi, 0, 0, 0)),
+                    pl.BlockSpec((1, 4, h, w), lambda bi, *_: (bi, 0, 0, 0)),
                     pl.BlockSpec((1, h, w, d), lambda bi, *_: (bi, 0, 0, 0)),
-                    pl.BlockSpec((1, h, 2, w), lambda bi, *_: (bi, 0, 0, 0)),
                 ] + page_specs,
                 out_specs=page_specs,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct(pages.k_pages.shape, jnp.int8),
-                jax.ShapeDtypeStruct(pages.k_params.shape, jnp.float32),
+                jax.ShapeDtypeStruct(pages.params.shape, jnp.bfloat16),
                 jax.ShapeDtypeStruct(pages.v_pages.shape, jnp.int8),
-                jax.ShapeDtypeStruct(pages.v_params.shape, jnp.float32),
             ],
-            # page blocks are inputs 9..12 (after 5 prefetch + 4 flush inputs)
-            input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
+            # page blocks are inputs 8..10 (after 5 prefetch + 3 flush inputs)
+            input_output_aliases={8: 0, 9: 1, 10: 2},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
         )(pg, slot0_pass, o, lo, hi,
-          k_flush, k_prm, v_flush, v_prm,
-          pages_.k_pages, pages_.k_params, pages_.v_pages, pages_.v_params)
-        return KVPages(*out)
+          k_flush, prm_flush, v_flush,
+          pages_.k_pages, pages_.params, pages_.v_pages)
+        return KVPages(k_pages=out[0], params=out[1], v_pages=out[2])
 
     pages = one_pass(page_a, slot0, 0, pages)
     pages = one_pass(page_b, slot0, s, pages)

@@ -186,11 +186,14 @@ def _gemm_o4_kernel(a_ref, w_ref, sa_ref, sw_ref, codes_ref, params_ref, acc_ref
         x = acc_ref[:].reshape(tm, heads, head_dim)
         xmax = jnp.max(x, axis=-1, keepdims=True)
         xmin = jnp.min(x, axis=-1, keepdims=True)
+        # bf16-rounded scale/zero_val, matching quantize_kv_asym (the
+        # paged cache stores params in bf16).
         scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
+        scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
         zero = jnp.clip(jnp.round(-xmin / scale), 0.0, 15.0)
         codes = jnp.clip(jnp.round(x / scale) + zero, 0.0, 15.0)
         codes_ref[:] = codes.astype(jnp.int8).reshape(tm, tn)
-        zero_val = -zero * scale
+        zero_val = (-zero * scale).astype(jnp.bfloat16).astype(jnp.float32)
         params_ref[:] = jnp.concatenate(
             [scale, zero_val], axis=-1
         ).reshape(tm, heads * 2)

@@ -469,14 +469,20 @@ def _gemm_qkv_kernel(
             blk = x[:, h * head_dim : (h + 1) * head_dim]
             xmax = jnp.max(blk, axis=1, keepdims=True)
             xmin = jnp.min(blk, axis=1, keepdims=True)
+            # bf16-rounded scale/zero_val, matching quantize_kv_asym: the
+            # paged cache stores params in bf16, so rounding here keeps
+            # every consumer (prefill math, hot ring, decode kernel) on
+            # bit-identical values.
             scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
+            scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
             zero = jnp.clip(jnp.round(-xmin / scale), 0.0, 15.0)
             codes_parts.append(
                 jnp.clip(jnp.round(blk / scale) + zero, 0.0, 15.0).astype(jnp.int8)
             )
+            zero_val = (-zero * scale).astype(jnp.bfloat16).astype(jnp.float32)
             lane = jax.lax.broadcasted_iota(jnp.int32, prm_ref.shape, 1)
             prm = jnp.where(lane == 2 * h, scale, prm)
-            prm = jnp.where(lane == 2 * h + 1, -zero * scale, prm)
+            prm = jnp.where(lane == 2 * h + 1, zero_val, prm)
         return jnp.concatenate(codes_parts, axis=1), prm
 
     @pl.when(j < n_q_tiles)

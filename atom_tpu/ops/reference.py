@@ -81,14 +81,24 @@ class KVQuant(NamedTuple):
 
 def quantize_kv_asym(x: jnp.ndarray, clip_ratio: float = 1.0) -> KVQuant:
     """Per-(token, head) asym INT4 over head_dim (``quant.py:234-257`` semantics,
-    the serving-side real-code variant)."""
+    the serving-side real-code variant).
+
+    Scale and zero_val are rounded to bf16 AT THE SOURCE: the paged cache
+    stores params as bf16 ([P, 4, H, S], see ``kv_layout``), and rounding
+    here means prefill math, the hot ring, and the decode kernel all consume
+    bit-identical values (decode == prefill is preserved).  The rounding
+    perturbs the dequant grid by <=0.4%% of a step — far below the +-scale/2
+    code rounding itself (the reference stores fp16 params, same idea:
+    ``page.cuh:15-37``).
+    """
     x32 = x.astype(jnp.float32)
     xmax = jnp.max(x32, axis=-1, keepdims=True) * clip_ratio
     xmin = jnp.min(x32, axis=-1, keepdims=True) * clip_ratio
     scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
+    scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
     zero = jnp.clip(jnp.round(-xmin / scale), 0, 15)
     codes = jnp.clip(jnp.round(x32 / scale) + zero, 0, 15).astype(jnp.int8)
-    zero_val = -zero * scale
+    zero_val = (-zero * scale).astype(jnp.bfloat16).astype(jnp.float32)
     params = jnp.concatenate([scale, zero_val], axis=-1)
     return KVQuant(codes=codes, params=params)
 

@@ -144,6 +144,7 @@ def make_state_sharded(
         n_layers, n_pages, batch, kv_heads, page_size, head_dim
     )
     pg_shd = NamedSharding(mesh, P(None, axis))        # [P, H, ...]
+    prm_shd = NamedSharding(mesh, P(None, None, axis))  # [P, 4, H, S]
     hotc_shd = NamedSharding(mesh, P(None, axis))      # codes [B, H, W, D]
     hotp_shd = NamedSharding(mesh, P(None, None, None, axis))  # [B, W, 2, H]
     rep = NamedSharding(mesh, P())
@@ -158,11 +159,15 @@ def make_state_sharded(
             v_prm=jax.device_put(h.v_prm, hotp_shd),
         )
 
+    def place_pages(pg):
+        return pg._replace(
+            k_pages=jax.device_put(pg.k_pages, pg_shd),
+            v_pages=jax.device_put(pg.v_pages, pg_shd),
+            params=jax.device_put(pg.params, prm_shd),
+        )
+
     return ServingState(
-        pages=[
-            jax.tree.map(lambda x: jax.device_put(x, pg_shd), pg)
-            for pg in state.pages
-        ],
+        pages=[place_pages(pg) for pg in state.pages],
         hot=[place_hot(h) for h in state.hot],
         row=jax.device_put(state.row, rep),
         flushed=jax.device_put(state.flushed, rep),
@@ -230,7 +235,11 @@ def make_tp_step_fns(
 
     state_spec = ServingState(
         pages=[
-            KVPages(P(None, axis), P(None, axis), P(None, axis), P(None, axis))
+            KVPages(
+                k_pages=P(None, axis),
+                v_pages=P(None, axis),
+                params=P(None, None, axis),
+            )
             for _ in range(cfg.num_layers)
         ],
         hot=[

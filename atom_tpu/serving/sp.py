@@ -271,8 +271,15 @@ def make_sp_tp_prefill_fn(
     )
 
     def run(state: ServingState, ids, table_row, true_len, slot):
+        from atom_tpu.ops.kv_layout import KVPages
+
         pg_spec = [
-            jax.tree.map(lambda _: P(None, tp_axis), pg) for pg in state.pages
+            KVPages(
+                k_pages=P(None, tp_axis),
+                v_pages=P(None, tp_axis),
+                params=P(None, None, tp_axis),  # [P, 4, H, S]: shard heads
+            )
+            for _ in state.pages
         ]
         sm = shard_map(
             body, mesh=mesh,

@@ -1,0 +1,263 @@
+"""A/B: decode-attention v2 (dense bf16 params + vectorized softmax) vs v1.
+
+v2 changes vs the production kernel (pallas_decode.py):
+  * ONE params array [P, 4, H, S] bf16 (k_scale/k_zero/v_scale/v_zero rows)
+    instead of two [P, H, 2, S] f32 arrays whose 2-sublane dim tiles pad 2->8
+    (4x physical DMA) — param traffic drops 8x.
+  * per-head dots write into a [hb*G, S] scratch; the whole softmax/affine
+    chain then runs ONCE vectorized over all heads (the v1 loop ran ~450
+    1-sublane VPU ops per grid step).
+  * K score dots in bf16: q is already bf16 and the u4 codes are integers
+    (exactly representable), so products are exact and accumulation stays
+    f32 in the MXU; V dots stay f32 (p would lose real precision in bf16).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_decode_v2.py
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from atom_tpu.utils.timing import bench_op
+
+B, H, D, S = 32, 32, 128, 256
+
+
+def make_v2(hb: int = 16, dma_only: bool = False, groups: int = 1):
+    def kern(pt_ref, sl_ref, q_ref, kp_ref, prm_ref, vp_ref,
+             o_ref, mo_ref, lo_ref, acc_ref, m_ref, l_ref, sc_ref, pv_ref,
+             *, head_block, page_size, sm_scale):
+        b = pl.program_id(0)
+        i = pl.program_id(2)
+        n_blocks = pl.num_programs(2)
+        seq_len = sl_ref[b]
+        s = page_size
+        g = groups
+        r_all = head_block * g
+
+        @pl.when(i == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, -1e30)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(i * s < seq_len)
+        def _proc():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+            valid = (i * s + lane) < seq_len  # [1, S]
+
+            q_all = q_ref[0]  # [hb*G, D] bf16
+            dh = D // 2
+            # K dots per head in bf16 (exact for u4 codes + bf16 q)
+            for hh in range(head_block):
+                kb = kp_ref[0, hh]  # int8 [D/2, S]
+                k_lo = (kb & 0x0F).astype(jnp.bfloat16)
+                k_hi = ((kb.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.bfloat16)
+                q_h = q_all[hh * g:(hh + 1) * g, :]
+                sc_ref[hh * g:(hh + 1) * g, :] = jax.lax.dot_general(
+                    q_h[:, :dh], k_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    q_h[:, dh:], k_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            prm = prm_ref[0]  # [4, hb, S] bf16
+            def rep(x):  # [hb, S] -> [hb*G, S]
+                if g == 1:
+                    return x.astype(jnp.float32)
+                return jnp.broadcast_to(
+                    x.astype(jnp.float32)[:, None, :], (head_block, g, s)
+                ).reshape(r_all, s)
+
+            k_scale = rep(prm[0])
+            k_zero = rep(prm[1])
+            q_sum = jnp.sum(q_all.astype(jnp.float32), axis=1, keepdims=True)
+            scores = (sc_ref[:] * k_scale + q_sum * k_zero) * sm_scale
+            scores = jnp.where(valid, scores, -1e30)
+
+            m_prev = m_ref[:, 0:1]
+            l_prev = l_ref[:, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # [R, S]
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+            v_scale = rep(prm[2])
+            v_zero = rep(prm[3])
+            pw = p * v_scale
+            half = s // 2
+            for hh in range(head_block):
+                vb = vp_ref[0, hh]  # int8 [S/2, D]
+                v_lo = (vb & 0x0F).astype(jnp.float32)
+                v_hi = ((vb.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
+                pw_h = pw[hh * g:(hh + 1) * g, :]
+                pv_ref[hh * g:(hh + 1) * g, :] = jax.lax.dot_general(
+                    pw_h[:, :half], v_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    pw_h[:, half:], v_hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            z_corr = jnp.sum(p * v_zero, axis=1, keepdims=True)
+            acc_ref[:] = acc_ref[:] * alpha + pv_ref[:] + z_corr
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+        @pl.when(i == n_blocks - 1)
+        def _fin():
+            l = jnp.maximum(l_ref[:, 0:1], 1e-20)
+            o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+            mo_ref[0] = m_ref[:]
+            lo_ref[0] = l_ref[:]
+
+    def kern_dma(pt_ref, sl_ref, q_ref, kp_ref, prm_ref, vp_ref,
+                 o_ref, mo_ref, lo_ref, acc_ref, m_ref, l_ref, sc_ref, pv_ref,
+                 *, head_block, page_size, sm_scale):
+        b = pl.program_id(0)
+        i = pl.program_id(2)
+        seq_len = sl_ref[b]
+        s = page_size
+
+        @pl.when(i == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(i * s < seq_len)
+        def _proc():
+            acc_ref[:, 0:1] += (
+                jnp.sum(kp_ref[:].astype(jnp.float32))
+                + jnp.sum(vp_ref[:].astype(jnp.float32))
+                + jnp.sum(prm_ref[:].astype(jnp.float32))
+                + jnp.sum(q_ref[:].astype(jnp.float32))
+            )
+
+        @pl.when(i == pl.num_programs(2) - 1)
+        def _fin():
+            o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+            mo_ref[0] = m_ref[:]
+            lo_ref[0] = l_ref[:]
+
+    @jax.jit
+    def fn(q, kp, prm, vp, page_table, seq_lens):
+        b, hq, d = q.shape
+        h = kp.shape[1]
+        s = kp.shape[3]
+        g = hq // h
+        max_pages = page_table.shape[1]
+        sm_scale = 1.0 / math.sqrt(d)
+
+        def page_of(i_b, i_h, i_p, pt, sl):
+            last = jnp.maximum(pl.cdiv(sl[i_b], s) - 1, 0)
+            return pt[i_b, jnp.minimum(i_p, last)]
+
+        grid = (b, h // hb, max_pages)
+        kk = functools.partial(
+            kern_dma if dma_only else kern,
+            head_block=hb, page_size=s, sm_scale=sm_scale)
+        out, m, l = pl.pallas_call(
+            kk,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, hb * g, d),
+                                 lambda ib, ih, ip, pt, sl: (ib, ih, 0)),
+                    pl.BlockSpec((1, hb, d // 2, s),
+                                 lambda ib, ih, ip, pt, sl: (page_of(ib, ih, ip, pt, sl), ih, 0, 0)),
+                    pl.BlockSpec((1, 4, hb, s),
+                                 lambda ib, ih, ip, pt, sl: (page_of(ib, ih, ip, pt, sl), 0, ih, 0)),
+                    pl.BlockSpec((1, hb, s // 2, d),
+                                 lambda ib, ih, ip, pt, sl: (page_of(ib, ih, ip, pt, sl), ih, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, hb * g, d),
+                                 lambda ib, ih, ip, pt, sl: (ib, ih, 0)),
+                    pl.BlockSpec((1, hb * g, 128),
+                                 lambda ib, ih, ip, pt, sl: (ib, ih, 0)),
+                    pl.BlockSpec((1, hb * g, 128),
+                                 lambda ib, ih, ip, pt, sl: (ib, ih, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((hb * g, d), jnp.float32),
+                    pltpu.VMEM((hb * g, 128), jnp.float32),
+                    pltpu.VMEM((hb * g, 128), jnp.float32),
+                    pltpu.VMEM((hb * g, s), jnp.float32),
+                    pltpu.VMEM((hb * g, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((b, hq, d), jnp.bfloat16),
+                jax.ShapeDtypeStruct((b, hq, 128), jnp.float32),
+                jax.ShapeDtypeStruct((b, hq, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        )(page_table, seq_lens, q, kp, prm, vp)
+        return out
+
+    return fn
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", default="v1,v2,v2dma")
+    args = ap.parse_args()
+
+    key = jax.random.PRNGKey(2)
+    ctx = args.ctx
+    maxp = ctx // S
+    n_pages = B * maxp + 1
+
+    kp = jax.random.randint(key, (n_pages, H, D // 2, S), -128, 127, jnp.int8)
+    vp = jax.random.randint(key, (n_pages, H, S // 2, D), -128, 127, jnp.int8)
+    prm = jax.random.uniform(key, (n_pages, 4, H, S), jnp.bfloat16)
+    table = jnp.arange(1, n_pages).reshape(B, maxp).astype(jnp.int32)
+    lens = jnp.full((B,), ctx, jnp.int32)
+    q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
+    kv = B * ctx * H * D + B * ctx * H * 8  # logical bytes (codes + bf16 prm)
+
+    specs = {}
+    for v in args.variants.split(","):
+        if v == "v1":
+            import importlib.util
+            spec_ = importlib.util.spec_from_file_location(
+                "abdk", "/root/repo/scripts/ab_decode_kernel.py")
+            abdk = importlib.util.module_from_spec(spec_)
+            spec_.loader.exec_module(abdk)
+            from atom_tpu.ops.kv_layout import make_kv_pages_kernel
+            pages = make_kv_pages_kernel(n_pages, H, S, D)
+            f = abdk.make_fn("split")
+            specs[v] = (lambda f=f, pages=pages: bench_op(
+                lambda q_: f(q_, pages.k_pages, pages.k_params,
+                             pages.v_pages, pages.v_params, table, lens),
+                [q], iters=args.iters))
+        else:
+            hb = 16
+            name = v
+            if ":" in v:
+                name, hb = v.split(":"); hb = int(hb)
+            f = make_v2(hb=hb, dma_only=name.endswith("dma"))
+            specs[v] = (lambda f=f: bench_op(
+                lambda q_, kp_, prm_, vp_: f(q_, kp_, prm_, vp_, table, lens),
+                [q, kp, prm, vp], iters=args.iters))
+
+    best = {v: float("inf") for v in specs}
+    for rnd in range(args.rounds):
+        for v, run in specs.items():
+            dt = run()
+            best[v] = min(best[v], dt)
+            print(f"rnd{rnd} {v:10s}: {dt * 1e6:7.1f} us", flush=True)
+    print("--- min over rounds ---")
+    for v, dt in best.items():
+        print(f"{v:10s}: {dt * 1e6:7.1f} us  {kv / dt / 1e9:.0f} GB/s (logical)")
+
+
+if __name__ == "__main__":
+    main()
