@@ -62,10 +62,10 @@ def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32, head="bf16"):
 
     spec = ATOM_W4A4
     params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
-    if head == "w4a16":
+    if head != "bf16":
         from atom_tpu.serving.model import quantize_lm_head
 
-        params = quantize_lm_head(params)
+        params = quantize_lm_head(params, bits=4 if head == "w4a16" else 8)
     from atom_tpu.ops.kv_hot import HOT_W
 
     # Size the page table for the TOTAL steps the timing loop will advance:
@@ -191,8 +191,10 @@ def main(argv=None):
                     choices=["w4a4", "bf16", "w8a8", "w4a16"],
                     default=["w4a4", "bf16", "w8a8", "w4a16"])
     ap.add_argument("--engine", action="store_true")
-    ap.add_argument("--head", choices=["bf16", "w4a16"], default="bf16",
-                    help="lm_head precision for the w4a4 stack")
+    ap.add_argument("--head", choices=["bf16", "w8a16", "w4a16"],
+                    default="w8a16",
+                    help="lm_head precision for the w4a4 stack (w8a16 is the "
+                         "production default; see test_w4a16_head_logits_delta)")
     ap.add_argument("--requests", type=int, default=64)
     args = ap.parse_args(argv)
 

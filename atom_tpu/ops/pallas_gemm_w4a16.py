@@ -146,3 +146,105 @@ def w4a16_gemm(
         interpret=interpret,
     )(a, wp, sw)
     return out[:m, :n].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# W8A16: weight-only INT8 (the default serving lm_head precision)
+# ---------------------------------------------------------------------------
+
+
+class W8A16Weight(NamedTuple):
+    """Per-output-column symmetric INT8 weight-only matrix.
+
+    Chosen for the serving lm_head: halves head HBM traffic vs bf16 while
+    perturbing logits by only ~0.7%% of their std (97%% argmax agreement even
+    on iid-gaussian worst-case logits; real-model margins are far larger) —
+    the W4A16 head measured 11%% / 77%% on the same probe, too coarse to be
+    the default.  ``codes``: int8 [K, N]; ``scale``: f32 [1, N].
+    """
+
+    codes: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def quantize_w8a16(w: jnp.ndarray) -> W8A16Weight:
+    w32 = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True), 1e-8) / 127.0
+    codes = jnp.clip(jnp.round(w32 / scale), -128, 127).astype(jnp.int8)
+    return W8A16Weight(codes=codes, scale=scale)
+
+
+def dequantize_w8a16(wq: W8A16Weight) -> jnp.ndarray:
+    return wq.codes.astype(jnp.float32) * wq.scale
+
+
+_KSTEP = 1024  # K rows per grid step (512 KB int8 weight block at tn=512)
+
+
+def _w8a16_kernel(a_ref, w_ref, sw_ref, out_ref, *, n_k: int):
+    g = pl.program_id(2)
+
+    @pl.when(g == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # int8 codes are exact in bf16; a is bf16 — native MXU dot, f32 acc.
+    out_ref[:] += jax.lax.dot_general(
+        a_ref[:].astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(g == n_k - 1)
+    def _scale():
+        out_ref[:] *= sw_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "out_dtype", "interpret"))
+def w8a16_gemm(
+    a: jnp.ndarray,  # bf16/f32 [M, K]
+    wq: W8A16Weight,
+    tile_m: int = 256,
+    tile_n: int = 512,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from atom_tpu.ops.runtime import interpret_default
+
+    interpret = interpret_default(interpret)
+    m, k = a.shape
+    n = wq.codes.shape[1]
+    tm = min(tile_m, _round_up(m, 32))
+    tn = min(tile_n, _round_up(n, 128))
+    tk = min(_KSTEP, k)
+    pad_m = _round_up(m, tm) - m
+    pad_n = _round_up(n, tn) - n
+    pad_k = _round_up(k, tk) - k
+    if pad_m or pad_k:
+        a = jnp.pad(a, ((0, pad_m), (0, pad_k)))
+    w, sw = wq.codes, wq.scale
+    if pad_n or pad_k:
+        w = jnp.pad(w, ((0, pad_k), (0, pad_n)))
+        sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
+    mp, np_, kp = m + pad_m, n + pad_n, k + pad_k
+
+    out = pl.pallas_call(
+        functools.partial(_w8a16_kernel, n_k=kp // tk),
+        grid=(mp // tm, np_ // tn, kp // tk),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, g: (i, g)),
+            pl.BlockSpec((tk, tn), lambda i, j, g: (g, j)),
+            pl.BlockSpec((1, tn), lambda i, j, g: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, g: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=2 * mp * k + k * np_ + 4 * mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, w, sw)
+    return out[:m, :n].astype(out_dtype)

@@ -60,6 +60,14 @@ def main():
 
     t0 = time.perf_counter()
     params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    head = os.environ.get("BENCH_HEAD", "w8a16")
+    if head != "bf16":
+        # Default: per-column INT8 weight-only lm_head — halves head HBM per
+        # step at ~0.7% logits noise (97% argmax agreement even on the
+        # iid-gaussian worst case; see test_w4a16_head_logits_delta).
+        from atom_tpu.serving.model import quantize_lm_head
+
+        params = quantize_lm_head(params, bits=4 if head == "w4a16" else 8)
     jax.block_until_ready(params.layers[-1].wdown.body_packed)
     log(f"param init: {time.perf_counter() - t0:.1f}s")
 

@@ -315,3 +315,42 @@ def test_quantized_lm_head_option():
         jnp.asarray(table), jnp.asarray(lens), TINY, SPEC,
     )
     assert 0 <= int(tok2[0]) < TINY.vocab_size
+
+
+def test_w4a16_head_logits_delta():
+    """Quantified basis for the lm_head precision default (W8A16).
+
+    Probe on iid-gaussian logits — the WORST case for argmax stability
+    (top-1 margins among 4096 iid gaussians are tiny; real-model margins
+    are far larger).  The INT8 head must stay essentially noise-free even
+    here; the INT4 head's measured numbers (~11%% noise, ~77%% worst-case
+    agreement) are why it is opt-in rather than the default.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from atom_tpu.ops.pallas_gemm_w4a16 import quantize_w4a16, quantize_w8a16
+    from atom_tpu.serving.model import _lm_head_logits
+
+    d, v, n = 1024, 4096, 256
+    head = jax.random.normal(jax.random.PRNGKey(0), (d, v), jnp.bfloat16) * 0.02
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, d), jnp.bfloat16)
+    ref = _lm_head_logits(x, head)
+
+    def probe(quantized):
+        q = _lm_head_logits(x, quantized)
+        noise = float(jnp.std(q - ref)) / float(jnp.std(ref))
+        agree = float(jnp.mean(
+            (jnp.argmax(ref, -1) == jnp.argmax(q, -1)).astype(jnp.float32)
+        ))
+        return noise, agree
+
+    noise8, agree8 = probe(quantize_w8a16(head.astype(jnp.float32)))
+    assert noise8 < 0.02, f"W8A16 logits noise {noise8:.4f} >= 2%"
+    assert agree8 >= 0.95, f"W8A16 worst-case argmax agreement {agree8:.3f}"
+
+    noise4, agree4 = probe(quantize_w4a16(head.astype(jnp.float32)))
+    assert noise4 < 0.2, f"W4A16 logits noise {noise4:.4f} drifted"
+    assert agree4 >= 0.6, f"W4A16 worst-case argmax agreement {agree4:.3f}"
+    # the gap that motivates the default:
+    assert noise8 * 5 < noise4
