@@ -144,15 +144,16 @@ def engine_run(cfg, batch, n_requests, stack="w4a4"):
         KvPool, TextGenConfig, TextGenEngine, synth_requests,
     )
 
-    tg = TextGenConfig(batch_size=batch, max_seq_len=1024,
+    tg = TextGenConfig(batch_size=batch, max_seq_len=1024, page_size=256,
                        prefill_buckets=(128, 256, 512))
     n_pool = batch * tg.max_seq_len // tg.page_size + 16
     pool = KvPool(
         cfg.num_layers, n_pool, cfg.num_kv_heads, tg.page_size, cfg.head_dim,
     )
+    chunk_fn = None
     if stack == "w4a4":
         from atom_tpu.serving.model import (
-            init_serving_params, make_serving_state, make_step_fns,
+            init_serving_params, make_mixed_step_fns, make_serving_state,
         )
 
         spec = ATOM_W4A4
@@ -161,7 +162,9 @@ def engine_run(cfg, batch, n_requests, stack="w4a4"):
             cfg.num_layers, n_pool, batch, cfg.num_kv_heads, tg.page_size,
             cfg.head_dim,
         )
-        step_fns = make_step_fns(params, cfg, spec)
+        # mixed scheduling: prompts ride the decode batch in page chunks
+        pre, dec, chunk_fn = make_mixed_step_fns(params, cfg, spec)
+        step_fns = (pre, dec)
     else:
         from atom_tpu.serving.baselines import (
             init_bf16_params, init_w4a16_params, init_w8_params,
@@ -176,7 +179,7 @@ def engine_run(cfg, batch, n_requests, stack="w4a4"):
             cfg.head_dim,
         )
         step_fns = make_baseline_step_fns(params, cfg, stack)
-    engine = TextGenEngine(tg, pool, *step_fns, state)
+    engine = TextGenEngine(tg, pool, *step_fns, state, chunk_fn=chunk_fn)
     rs = synth_requests(n_requests, cfg.vocab_size, maxlen=900)
     return engine.run(rs, progress=True)
 

@@ -211,9 +211,16 @@ def paged_decode_attention_rotated(
     groups = hq // h
     assert hq % h == 0 and d == pages.head_dim
     hb = min(head_block, h)
-    while hb < h and (h % hb != 0 or (hb * groups) % 8 != 0):
+    # Mosaic block rules: q's penultimate dim (hb*groups) and the params
+    # block's penultimate dim (hb) must each be divisible by 8 or equal the
+    # full array dim.
+    while hb < h and (
+        h % hb != 0 or (hb * groups) % 8 != 0 or hb % 8 != 0
+    ):
         hb += 1
-    assert h % hb == 0 and ((hb * groups) % 8 == 0 or hb == h)
+    assert h % hb == 0
+    assert (hb * groups) % 8 == 0 or hb == h
+    assert hb % 8 == 0 or hb == h
     max_pages = page_table.shape[1]
     sm_scale = 1.0 / math.sqrt(d)
 

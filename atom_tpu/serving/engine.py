@@ -78,11 +78,23 @@ class TextGenEngine:
         prefill_fn: Callable,
         decode_fn: Callable,
         state,
+        chunk_fn: Optional[Callable] = None,
     ):
+        """``chunk_fn`` (optional) enables MIXED scheduling: prompts are
+        processed in page-size chunks that ride the decode batch — decode
+        sequences keep stepping during admissions instead of stalling for a
+        whole prefill (the reference's single ragged mixed step,
+        ``bench_textgen.py:136-139``).  Signature:
+
+          chunk_fn(state, ids[B], page_table, seq_lens,
+                   chunk_ids[C], chunk_table_row, pos0, chunk_len, slot)
+              -> (next_ids[B], chunk_tok, state)
+        """
         self.cfg = cfg
         self.pool = pool
         self.prefill_fn = prefill_fn
         self.decode_fn = decode_fn
+        self.chunk_fn = chunk_fn
         self.state = state
         self.max_pages = -(-cfg.max_seq_len // cfg.page_size)
 
@@ -92,7 +104,8 @@ class TextGenEngine:
                 return b
         raise ValueError(f"prompt length {t} exceeds largest prefill bucket")
 
-    def run(self, rs: RequestSet, progress: bool = False) -> dict:
+    def run(self, rs: RequestSet, progress: bool = False,
+            record: bool = False) -> dict:
         cfg = self.cfg
         bsz = cfg.batch_size
         state = self.state  # device pytree, threaded through the steps
@@ -102,19 +115,29 @@ class TextGenEngine:
         ]
 
         workset: List[Optional[_ActiveSeq]] = [None] * bsz
+        # slots mid-chunked-prefill (mixed scheduling): slot -> [seq, next_pos]
+        prefilling: dict = {}
         next_req = 0
         done = 0
         n_req = len(rs)
+        chunk = self.cfg.page_size  # chunked prefill appends whole pages
         # per-slot current token ids live ON DEVICE [bsz]
         ids_dev = jnp.zeros((bsz,), jnp.int32)
 
+        tokens = {r: [] for r in range(n_req)} if record else None
+
         t_start = time.perf_counter()
         n_decode_steps = 0
+        n_mixed_steps = 0  # steps that carried a prefill chunk AND >=1 decode
         while done < n_req:
             now = time.perf_counter()
             # --- admit new requests into free slots (FCFS) ---
             for slot in range(bsz):
-                if workset[slot] is not None or next_req >= n_req:
+                if (
+                    workset[slot] is not None
+                    or slot in prefilling
+                    or next_req >= n_req
+                ):
                     continue
                 r = next_req
                 next_req += 1
@@ -123,6 +146,11 @@ class TextGenEngine:
                 t_true = len(prompt)
                 kv = SeqKvCache(self.pool, t_true)
                 seq = _ActiveSeq(r, kv, int(rs.output_lens[r]), stats[r])
+                if self.chunk_fn is not None:
+                    # mixed scheduling: the prompt rides subsequent decode
+                    # steps in page-size chunks; the slot is reserved now.
+                    prefilling[slot] = [seq, 0]
+                    continue
                 bucket = self._bucket(t_true)
                 ids = np.zeros((bucket,), np.int32)
                 ids[:t_true] = prompt
@@ -140,6 +168,8 @@ class TextGenEngine:
                 # async dispatch): block on the produced token first.
                 jax.block_until_ready(tok)
                 stats[r].first_token_t = time.perf_counter()
+                if record:
+                    tokens[r].append(int(tok))
                 seq.remaining -= 1
                 if seq.remaining == 0:  # single-token outputs finish here
                     stats[r].finish_t = stats[r].first_token_t
@@ -149,10 +179,10 @@ class TextGenEngine:
                     workset[slot] = seq
 
             active = [s for s in workset if s is not None]
-            if not active:
+            if not active and not prefilling:
                 continue
 
-            # --- one decode step over the whole workset ---
+            # --- one step: whole-workset decode (+ one prefill chunk) ---
             for slot in range(bsz):
                 s = workset[slot]
                 if s is None:
@@ -161,22 +191,74 @@ class TextGenEngine:
             table, lens = batch_page_table(
                 [s.kv if s else None for s in workset], self.max_pages
             )
-            ids_dev, state = self.decode_fn(
-                state,
-                ids_dev,
-                jnp.asarray(table),
-                jnp.asarray(lens),
-            )
-            n_decode_steps += 1
+            # slots that decode THIS step (a prefill completing below joins
+            # the workset only for the NEXT step — it must not be retired or
+            # recorded this iteration)
+            stepped = [slot for slot in range(bsz) if workset[slot] is not None]
+            if prefilling:
+                # FCFS: the earliest-admitted prefilling request's next chunk
+                slot_p = next(iter(prefilling))
+                seq_p, pos = prefilling[slot_p]
+                prompt = rs.prompts[seq_p.idx]
+                t_true = len(prompt)
+                clen = min(chunk, t_true - pos)
+                cids = np.zeros((chunk,), np.int32)
+                cids[:clen] = prompt[pos : pos + clen]
+                table_row = np.zeros((self.max_pages,), np.int32)
+                table_row[: len(seq_p.kv.page_ids)] = seq_p.kv.page_ids
+                ids_dev, chunk_tok, state = self.chunk_fn(
+                    state,
+                    ids_dev,
+                    jnp.asarray(table),
+                    jnp.asarray(lens),
+                    jnp.asarray(cids),
+                    jnp.asarray(table_row),
+                    jnp.int32(pos),
+                    jnp.int32(clen),
+                    jnp.int32(slot_p),
+                )
+                pos += clen
+                if pos >= t_true:  # prompt complete: first token produced
+                    jax.block_until_ready(chunk_tok)
+                    seq_p.stat.first_token_t = time.perf_counter()
+                    ids_dev = ids_dev.at[slot_p].set(chunk_tok)
+                    if record:
+                        tokens[seq_p.idx].append(int(chunk_tok))
+                    seq_p.remaining -= 1
+                    del prefilling[slot_p]
+                    if seq_p.remaining == 0:
+                        seq_p.stat.finish_t = seq_p.stat.first_token_t
+                        seq_p.kv.release()
+                        done += 1
+                    else:
+                        workset[slot_p] = seq_p
+                else:
+                    prefilling[slot_p][1] = pos
+                if active:
+                    n_mixed_steps += 1
+            elif active:
+                ids_dev, state = self.decode_fn(
+                    state,
+                    ids_dev,
+                    jnp.asarray(table),
+                    jnp.asarray(lens),
+                )
+            if active:
+                n_decode_steps += 1
 
+            if record and stepped:
+                ids_host = np.asarray(jax.device_get(ids_dev))
+                for slot in stepped:
+                    tokens[workset[slot].idx].append(int(ids_host[slot]))
             # Tail-latency truthfulness: when any sequence finishes this step,
             # block on the step's output before stamping finish_t, so decode
             # p90 reflects device completion, not host dispatch rate.  Steps
             # where nothing finishes stay fully async (pipelined dispatch).
-            if any(s is not None and s.remaining == 1 for s in workset):
+            if any(workset[s] is not None and workset[s].remaining == 1
+                   for s in stepped):
                 jax.block_until_ready(ids_dev)
             now = time.perf_counter()
-            for slot in range(bsz):
+            for slot in stepped:
                 s = workset[slot]
                 if s is None:
                     continue
@@ -197,10 +279,11 @@ class TextGenEngine:
         out_tokens = rs.total_output_tokens
         ttfts = np.array([s.ttft for s in stats])
         ptls = np.array([s.per_token_latency for s in stats])
-        return {
+        out = {
             "elapsed_s": elapsed,
             "requests": n_req,
             "decode_steps": n_decode_steps,
+            "mixed_steps": n_mixed_steps,
             "total_tokens": rs.total_tokens,
             "output_tokens": out_tokens,
             "throughput_tok_s": rs.total_tokens / elapsed,
@@ -210,3 +293,6 @@ class TextGenEngine:
             "decode_ms_per_token_avg": float(ptls.mean() * 1e3),
             "decode_ms_per_token_p90": float(np.percentile(ptls, 90) * 1e3),
         }
+        if record:
+            out["tokens"] = tokens
+        return out

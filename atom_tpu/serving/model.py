@@ -561,6 +561,214 @@ def decode_burst(
     )
 
 
+# ---------------------------------------------------------------------------
+# Mixed prefill+decode step (chunked prefill riding the decode batch)
+# ---------------------------------------------------------------------------
+#
+# The reference runs ONE step per engine iteration covering ragged prefills +
+# all decodes (e2e/punica-atom/benchmarks/bench_textgen.py:136-139,
+# punica/models/llama.py:129-230).  The TPU equivalent with static shapes:
+# prompts are processed in PAGE-SIZE chunks, each chunk CONCATENATED onto the
+# decode batch's token rows.  The GEMMs are weight-bound at decode batch
+# sizes, so the chunk's extra rows ride the same weight reads nearly for
+# free; decode sequences keep stepping every iteration instead of stalling
+# for a whole prompt.
+#
+# Per layer the chunk rows need: (a) attention over the sequence's already-
+# prefilled PREFIX — the paged decode kernel reused with ``groups = G*C``
+# (all C chunk queries of a kv head ride one kernel "sequence", full-MXU
+# dots); (b) causal attention over the chunk itself — dense affine-code math
+# merged via online softmax, exactly like the hot-ring merge; (c) a whole-
+# page append of the chunk's quantized KV (chunk == page size, so every
+# chunk lands page-aligned with no read-modify-write).
+
+
+def _chunk_prefix_attention(q_chunk, pages, table_row, prefix_len, hb=8):
+    """Chunk queries vs the page-resident prefix -> (out f32 [C,HQ,D]
+    NORMALIZED, m [C,HQ], l [C,HQ]).
+
+    ``q_chunk``: [C, HQ, D] RoPE'd.  All C queries share the page walk: they
+    enter the paged kernel as ONE batch row with ``G*C`` query rows per kv
+    head, so each prefix page is DMA'd once and the score dots are [C*G, S]
+    — full MXU tiles (the decode path's M=G dots are latency-bound).
+    """
+    c, hq, d = q_chunk.shape
+    h = pages.kv_heads
+    # kv-head-major rows: row h*(G*C) + g*C + i = chunk query i of q-head
+    # h*G+g — matches the kernel's GQA grouping with groups' = G*C.
+    qr = q_chunk.transpose(1, 0, 2).reshape(1, hq * c, d)
+    out, m, l = paged_decode_attention_rotated(
+        qr, pages, table_row[None], prefix_len[None],
+        head_block=hb, return_state=True, out_dtype=jnp.float32,
+    )
+    out = out.reshape(hq, c, d).transpose(1, 0, 2)
+    m = m.reshape(hq, c).T
+    l = l.reshape(hq, c).T
+    return out, m, l
+
+
+def _chunk_self_attention(q_chunk, kq, vq, chunk_len, groups, sm_scale):
+    """Causal dense attention of the chunk over its OWN just-quantized KV ->
+    (out f32 [C,HQ,D] UNNORMALIZED, m [C,HQ], l [C,HQ]) for merging.
+
+    Same affine-code numerics as ``prefill_hidden`` (codes never
+    dequantized); rows/cols >= ``chunk_len`` are masked padding.
+    """
+    c = q_chunk.shape[0]
+    qf = q_chunk.astype(jnp.float32)  # [C, HQ, D]
+    k_codes = jnp.repeat(kq.codes, groups, axis=1).astype(jnp.float32)
+    k_prm = jnp.repeat(kq.params, groups, axis=1)  # [C, HQ, 2]
+    dot = jnp.einsum("qhd,khd->hqk", qf, k_codes)
+    k_scale = k_prm[:, :, 0].T[:, None, :]  # [HQ, 1, C]
+    k_zero = k_prm[:, :, 1].T[:, None, :]
+    q_sum = jnp.sum(qf, axis=2)  # [C, HQ]
+    scores = (dot * k_scale + q_sum.T[:, :, None] * k_zero) * sm_scale
+    pos = jnp.arange(c)
+    causal = (pos[None, :] <= pos[:, None]) & (pos[None, :] < chunk_len)
+    scores = jnp.where(causal[None], scores, -1e30)  # [HQ, C, C]
+    m = jnp.max(scores, axis=2)  # [HQ, C]
+    p = jnp.where(causal[None], jnp.exp(scores - m[:, :, None]), 0.0)
+    l = jnp.sum(p, axis=2)
+    v_prm = jnp.repeat(vq.params, groups, axis=1)
+    v_codes = jnp.repeat(vq.codes, groups, axis=1).astype(jnp.float32)
+    pw = p * v_prm[:, :, 0].T[:, None, :]
+    out = jnp.einsum("hqk,khd->qhd", pw, v_codes)
+    out = out + jnp.einsum("hqk,kh->qh", p, v_prm[:, :, 1])[..., None]
+    return out, m.T, l.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "flush"),
+    donate_argnames=("state",),
+)
+def mixed_step(
+    params: ServingParams,
+    state: ServingState,
+    ids: jnp.ndarray,         # int32 [B] — decode tokens (inactive rows: 0)
+    page_table: jnp.ndarray,  # int32 [B, max_pages]
+    seq_lens: jnp.ndarray,    # int32 [B] — INCLUDING the incoming token; 0 = idle
+    chunk_ids: jnp.ndarray,   # int32 [C] — prompt chunk, C == page_size
+    chunk_table_row: jnp.ndarray,  # int32 [max_pages] — admitting seq's pages
+    pos0: jnp.ndarray,        # int32 scalar — chunk start (multiple of C)
+    chunk_len: jnp.ndarray,   # int32 scalar — valid tokens in this chunk
+    chunk_slot: jnp.ndarray,  # int32 scalar — admitting seq's batch slot
+    cfg: ModelConfig,
+    spec: QuantSpec,
+    flush: bool = False,
+):
+    """One decode step for the whole workset + one prefill chunk, fused.
+
+    Returns (next_ids [B], chunk_tok scalar, state).  ``chunk_tok`` is the
+    argmax after the chunk's last valid token — meaningful only on the
+    prompt's final chunk (the request's first generated token).
+    """
+    b = ids.shape[0]
+    dh = cfg.head_dim
+    s_page = state.pages[0].page_size
+    c = chunk_ids.shape[0]
+    assert c == s_page, "chunk size must equal the page size (aligned appends)"
+    groups = cfg.kv_groups
+    sm_scale = dh ** -0.5
+
+    x = jnp.concatenate(
+        [_embed_lookup(params.embed, ids), _embed_lookup(params.embed, chunk_ids)]
+    )  # [B+C, D]
+    pos_dec = jnp.maximum(seq_lens - 1, 0)
+    pos_all = jnp.concatenate([pos_dec, pos0 + jnp.arange(c)])
+    cos, sin = rope_tables(pos_all, dh, cfg.rope_theta)
+
+    w = state.hot[0].window
+    row = state.row
+    max_pg = page_table.shape[1]
+    # flush bookkeeping identical to decode_hidden
+    if flush:
+        active = (seq_lens > 0) & (seq_lens > state.flushed)
+        page_lo = (seq_lens - w) // s_page
+        slot0 = page_lo * s_page
+        o_lane = seq_lens - w - slot0
+
+        def tbl(idx):
+            return jnp.take_along_axis(
+                page_table, jnp.clip(idx, 0, max_pg - 1)[:, None], axis=1
+            )[:, 0]
+
+        pg_a = jnp.where(active & (page_lo >= 0), tbl(page_lo), 0)
+        pg_b = jnp.where(
+            active & ((page_lo + 1) * s_page < seq_lens), tbl(page_lo + 1), 0
+        )
+        lo = state.flushed
+        hi = seq_lens
+        flushed_new = jnp.where(active, seq_lens, state.flushed)
+    else:
+        flushed_new = state.flushed
+    n_hot = seq_lens - flushed_new
+
+    chunk_page = jax.lax.dynamic_slice(chunk_table_row, (pos0 // s_page,), (1,))
+
+    new_pages, new_hot = [], []
+    for l_i, lp in enumerate(params.layers):
+      with jax.named_scope(f"mixed_layer{l_i}"):
+        q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
+        q_dec, q_chk = q[:b], q[b:]
+        kq_dec = R.KVQuant(kq.codes[:b], kq.params[:b])
+        vq_dec = R.KVQuant(vq.codes[:b], vq.params[:b])
+        kq_chk = R.KVQuant(kq.codes[b:], kq.params[b:])
+        vq_chk = R.KVQuant(vq.codes[b:], vq.params[b:])
+
+        hot_l = write_hot(state.hot[l_i], row, kq_dec, vq_dec)
+        new_hot.append(hot_l)
+        if flush:
+            pg = flush_hot_pallas(
+                state.pages[l_i], *hot_flush_blocks(hot_l, row),
+                pg_a, pg_b, slot0, o_lane, lo, hi,
+            )
+        else:
+            pg = state.pages[l_i]
+
+        # --- decode rows ---
+        out1, m1, l1 = paged_decode_attention_rotated(
+            q_dec, pg, page_table, flushed_new, return_state=True,
+            out_dtype=jnp.float32,
+        )
+        out2, m2, l2 = hot_attention(q_dec, hot_l, n_hot, row, sm_scale)
+        attn_dec = merge_attention(out1, m1, l1, out2, m2, l2).reshape(
+            b, cfg.num_heads * dh
+        )
+
+        # --- chunk rows: prefix (paged) + self (dense causal) ---
+        po, pm, pln = _chunk_prefix_attention(q_chk, pg, chunk_table_row, pos0)
+        so, sm_, sl = _chunk_self_attention(
+            q_chk, kq_chk, vq_chk, chunk_len, groups, sm_scale
+        )
+        attn_chk = merge_attention(po, pm, pln, so, sm_, sl).reshape(
+            c, cfg.num_heads * dh
+        )
+
+        # whole-page append of the chunk's KV (chunk == page, aligned)
+        pg = append_kv_prefill_kernel(pg, kq_chk, vq_chk, chunk_page)
+        new_pages.append(pg)
+
+        x = _post_attn(x, jnp.concatenate([attn_dec, attn_chk]), lp, spec)
+
+    hidden = rmsnorm(x, params.final_norm, cfg.norm_eps)
+    last_chunk_row = b + jnp.maximum(chunk_len - 1, 0)
+    head_rows = jnp.concatenate(
+        [hidden[:b], hidden[last_chunk_row][None]]
+    )
+    logits = _lm_head_logits(head_rows, params.lm_head)
+    next_ids = jnp.argmax(logits[:b], axis=-1).astype(jnp.int32)
+    chunk_tok = jnp.argmax(logits[b]).astype(jnp.int32)
+
+    new_state = ServingState(
+        pages=new_pages,
+        hot=new_hot,
+        row=(row + 1) % w,
+        flushed=flushed_new.at[chunk_slot].set(pos0 + chunk_len),
+    )
+    return next_ids, chunk_tok, new_state
+
+
 def make_step_fns(params: ServingParams, cfg: ModelConfig, spec: QuantSpec):
     """(prefill_fn, decode_fn) closures with the engine's calling convention."""
 
@@ -579,3 +787,34 @@ def make_step_fns(params: ServingParams, cfg: ModelConfig, spec: QuantSpec):
         )
 
     return prefill_fn, decode_fn
+
+
+def make_mixed_step_fns(params: ServingParams, cfg: ModelConfig, spec: QuantSpec):
+    """(prefill_fn, decode_fn, chunk_fn) for the mixed-scheduling engine.
+
+    ``decode_fn`` and ``chunk_fn`` SHARE the ring-step counter: a mixed step
+    writes the decode ring and advances ``row`` exactly like a decode step,
+    so the W-th call of EITHER kind must run the flush variant.
+    """
+    prefill_fn, _ = make_step_fns(params, cfg, spec)
+    counter = {"n": 0}
+
+    def _flush_now():
+        counter["n"] += 1
+        return counter["n"] % HOT_W == 0
+
+    def decode_fn(state, ids, page_table, seq_lens):
+        return decode_step(
+            params, state, ids, page_table, seq_lens, cfg, spec,
+            flush=_flush_now(),
+        )
+
+    def chunk_fn(state, ids, page_table, seq_lens,
+                 chunk_ids, chunk_table_row, pos0, chunk_len, chunk_slot):
+        return mixed_step(
+            params, state, ids, page_table, seq_lens,
+            chunk_ids, chunk_table_row, pos0, chunk_len, chunk_slot,
+            cfg, spec, flush=_flush_now(),
+        )
+
+    return prefill_fn, decode_fn, chunk_fn

@@ -1,0 +1,164 @@
+"""Mixed prefill+decode scheduling (chunked prefill riding the decode batch).
+
+The reference runs one ragged step covering prefills + decodes
+(``e2e/punica-atom/benchmarks/bench_textgen.py:136-139``); here prompts are
+processed in page-size chunks concatenated onto the decode batch
+(``serving.model.mixed_step``).
+
+Numerical note: chunked and monolithic prefill are the SAME math (causal
+attention over the same quantized KV) but accumulate softmax in a different
+order (online prefix+self merge vs one pass).  The ~1e-6 float difference
+flips a small fraction of 4-bit KV codes at quantization boundaries, which
+later layers amplify — two equally-valid quantized computations.  So the
+strict test runs op-by-op (``jax.disable_jit``) where layer-0 pages must be
+BITWISE equal and the first token identical; cross-program comparisons only
+get statistical assertions.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atom_tpu.config import QuantSpec
+from atom_tpu.models.configs import Arch, ModelConfig
+from atom_tpu.serving.kvpool import KvPool
+from atom_tpu.serving.model import (
+    init_serving_params,
+    make_mixed_step_fns,
+    make_serving_state,
+    make_step_fns,
+    mixed_step,
+    prefill_step,
+)
+
+CFG = ModelConfig(
+    arch=Arch.LLAMA,
+    vocab_size=256,
+    hidden_size=1024,
+    intermediate_size=2048,
+    num_layers=2,
+    num_heads=8,
+    num_kv_heads=8,
+    head_dim=128,
+)
+SPEC = QuantSpec(weight_channel_group=1)
+PAGE = 128  # == chunk size
+
+
+def test_chunked_prefill_matches_monolithic_opbyop():
+    """Op-by-op (no XLA fusion differences): a 2.3-page prompt prefilled via
+    3 mixed-step chunks must produce the same first token as one monolithic
+    prefill_step, bitwise-equal layer-0 pages, and near-identical later
+    layers (quantization-boundary flips from merge-order rounding only)."""
+    from atom_tpu.ops.kv_layout import kv_codes_from_kernel
+
+    params = init_serving_params(jax.random.PRNGKey(0), CFG, SPEC)
+    n_pages, batch = 8, 2
+    rng = np.random.Generator(np.random.PCG64(3))
+    t_true = 300
+    for _ in range(3):
+        prompt = rng.integers(1, CFG.vocab_size, t_true).astype(np.int32)
+    table_row = jnp.asarray([1, 2, 3, 0], jnp.int32)
+
+    with jax.disable_jit():
+        state_a = make_serving_state(
+            CFG.num_layers, n_pages, batch, CFG.num_kv_heads, PAGE, CFG.head_dim
+        )
+        ids = np.zeros((512,), np.int32)
+        ids[:t_true] = prompt
+        tok_a, state_a = prefill_step(
+            params, state_a, jnp.asarray(ids), table_row, jnp.int32(t_true),
+            jnp.int32(0), CFG, SPEC,
+        )
+
+        state_b = make_serving_state(
+            CFG.num_layers, n_pages, batch, CFG.num_kv_heads, PAGE, CFG.head_dim
+        )
+        ids_dec = jnp.zeros((batch,), jnp.int32)
+        dec_table = jnp.zeros((batch, 4), jnp.int32)
+        dec_lens = jnp.zeros((batch,), jnp.int32)
+        pos = 0
+        while pos < t_true:
+            clen = min(PAGE, t_true - pos)
+            cids = np.zeros((PAGE,), np.int32)
+            cids[:clen] = prompt[pos : pos + clen]
+            _, tok_b, state_b = mixed_step(
+                params, state_b, ids_dec, dec_table, dec_lens,
+                jnp.asarray(cids), table_row, jnp.int32(pos), jnp.int32(clen),
+                jnp.int32(0), CFG, SPEC,
+            )
+            pos += clen
+
+    assert int(state_b.flushed[0]) == t_true
+    assert int(tok_b) == int(tok_a)
+
+    def valid_mask(arr):  # [P(3 used), H, S, D] -> slots < t_true
+        m = np.zeros(arr.shape, bool)
+        for p in range(3):
+            m[p, :, : min(PAGE, t_true - p * PAGE)] = True
+        return m
+
+    # layer 0: identical inputs, identical per-token quantization -> bitwise
+    ka, kpa, va, vpa = (np.asarray(x)[1:4] for x in kv_codes_from_kernel(state_a.pages[0]))
+    kb, kpb, vb, vpb = (np.asarray(x)[1:4] for x in kv_codes_from_kernel(state_b.pages[0]))
+    m = valid_mask(ka)
+    assert ((ka != kb) & m).sum() == 0
+    assert ((va != vb) & m).sum() == 0
+
+    # layer 1: rare boundary flips only (merge-order f32 noise shifts the
+    # per-token quantization grid slightly) — codes may flip, but the
+    # DEQUANTIZED values must stay within a couple of quantization steps.
+    ka, kpa, va, _ = (np.asarray(x)[1:4] for x in kv_codes_from_kernel(state_a.pages[1]))
+    kb, kpb, vb, _ = (np.asarray(x)[1:4] for x in kv_codes_from_kernel(state_b.pages[1]))
+    frac = ((ka != kb) & m).sum() / m.sum()
+    assert frac < 0.05, f"{frac:.2%} of layer-1 K codes differ"
+    deq_a = ka * kpa[..., 0:1] + kpa[..., 1:2]  # [P, H, S, D]
+    deq_b = kb * kpb[..., 0:1] + kpb[..., 1:2]
+    step = np.maximum(kpa[..., 0:1], kpb[..., 0:1])
+    assert (np.abs(deq_a - deq_b) * m <= 2.5 * step + 1e-6).all()
+
+
+def test_mixed_engine_completes_midstream_arrivals():
+    """Mixed engine with requests arriving mid-stream: everything completes
+    with the right token counts, the pool drains, decode sequences keep
+    stepping during admissions, and the run is deterministic."""
+    from atom_tpu.serving.engine import TextGenConfig, TextGenEngine
+    from atom_tpu.serving.workload import RequestSet
+
+    params = init_serving_params(jax.random.PRNGKey(1), CFG, SPEC)
+    rng = np.random.Generator(np.random.PCG64(5))
+    n_req = 5
+    prompts = [
+        rng.integers(1, CFG.vocab_size, int(rng.integers(40, 300))).astype(np.int32)
+        for _ in range(n_req)
+    ]
+    rs = RequestSet(
+        prompts=prompts,
+        prompt_lens=np.asarray([len(p) for p in prompts]),
+        output_lens=np.asarray([6, 9, 40, 5, 7]),  # one crosses the ring flush
+    )
+    tg = TextGenConfig(batch_size=2, page_size=PAGE, max_seq_len=512,
+                       prefill_buckets=(128, 256, 512))
+    n_pool = 24
+
+    def run():
+        pool = KvPool(CFG.num_layers, n_pool, CFG.num_kv_heads, PAGE, CFG.head_dim)
+        state = make_serving_state(
+            CFG.num_layers, n_pool, tg.batch_size, CFG.num_kv_heads, PAGE,
+            CFG.head_dim,
+        )
+        pre, dec, chunk = make_mixed_step_fns(params, CFG, SPEC)
+        eng = TextGenEngine(tg, pool, pre, dec, state, chunk_fn=chunk)
+        res = eng.run(rs, record=True)
+        assert pool.num_free_pages == n_pool - 1  # everything released
+        return res
+
+    res1 = run()
+    assert res1["requests"] == n_req
+    for r in range(n_req):
+        assert len(res1["tokens"][r]) == int(rs.output_lens[r])
+    # decode kept stepping during at least one admission (the whole point)
+    assert res1["mixed_steps"] > 0
+
+    res2 = run()
+    assert res2["tokens"] == res1["tokens"], "mixed engine must be deterministic"
