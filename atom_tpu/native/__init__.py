@@ -48,6 +48,10 @@ def load_native():
     lib.atom_sched_free_pages.argtypes = [ctypes.c_void_p]
     lib.atom_sched_admit.restype = i32
     lib.atom_sched_admit.argtypes = [ctypes.c_void_p, i32, i32, i32]
+    lib.atom_sched_admit_hold.restype = i32
+    lib.atom_sched_admit_hold.argtypes = [ctypes.c_void_p, i32, i32, i32]
+    lib.atom_sched_activate.argtypes = [ctypes.c_void_p, i32, i32]
+    lib.atom_sched_release.argtypes = [ctypes.c_void_p, i32]
     lib.atom_sched_table_row.argtypes = [ctypes.c_void_p, i32, p32]
     lib.atom_sched_decode_step.restype = i32
     lib.atom_sched_decode_step.argtypes = [ctypes.c_void_p, p32, p32, p32]
@@ -96,6 +100,20 @@ class NativeScheduler:
         return self._lib.atom_sched_admit(
             self._h, request_id, prompt_len, output_len
         )
+
+    def admit_hold(self, request_id: int, prompt_len: int,
+                   output_len: int) -> int:
+        """Admit with pages allocated but decoding HELD (chunked prefill
+        in flight); activate() starts decode steps for the slot."""
+        return self._lib.atom_sched_admit_hold(
+            self._h, request_id, prompt_len, output_len
+        )
+
+    def activate(self, slot: int, remaining: int) -> None:
+        self._lib.atom_sched_activate(self._h, slot, remaining)
+
+    def release(self, slot: int) -> None:
+        self._lib.atom_sched_release(self._h, slot)
 
     def table_row(self, slot: int) -> np.ndarray:
         self._lib.atom_sched_table_row(

@@ -21,6 +21,8 @@ struct Seq {
   int32_t request_id = -1;   // -1: slot free
   int32_t remaining = 0;     // output tokens still to generate
   int32_t seqlen = 0;        // tokens INCLUDING any just-reserved decode token
+  bool held = false;         // admitted but still prefilling (chunked):
+                             // excluded from decode_step until activated
   std::vector<int32_t> pages;
 };
 
@@ -80,12 +82,43 @@ int32_t atom_sched_admit(void* h, int32_t request_id, int32_t prompt_len,
   q.request_id = request_id;
   q.remaining = output_len;
   q.seqlen = prompt_len;
+  q.held = false;
   q.pages.clear();
   for (int32_t i = 0; i < need; ++i) {
     q.pages.push_back(s->free_pages.back());
     s->free_pages.pop_back();
   }
   return slot;
+}
+
+// Admit into a HELD slot: pages allocated, but the sequence does not decode
+// until atom_sched_activate — used while a chunked prefill streams the
+// prompt through mixed steps.
+int32_t atom_sched_admit_hold(void* h, int32_t request_id, int32_t prompt_len,
+                              int32_t output_len) {
+  const int32_t slot = atom_sched_admit(h, request_id, prompt_len, output_len);
+  if (slot >= 0) static_cast<Scheduler*>(h)->slots[slot].held = true;
+  return slot;
+}
+
+// Start decoding a held slot with ``remaining`` tokens still to produce
+// (the prefill itself already emitted the first token).
+void atom_sched_activate(void* h, int32_t slot, int32_t remaining) {
+  Seq& q = static_cast<Scheduler*>(h)->slots[slot];
+  q.held = false;
+  q.remaining = remaining;
+}
+
+// Free a slot and its pages immediately (cancelled / single-token outputs).
+void atom_sched_release(void* h, int32_t slot) {
+  auto* s = static_cast<Scheduler*>(h);
+  Seq& q = s->slots[slot];
+  if (q.request_id < 0) return;
+  for (int32_t p : q.pages) s->free_pages.push_back(p);
+  q.pages.clear();
+  q.request_id = -1;
+  q.seqlen = 0;
+  q.held = false;
 }
 
 // Fill this slot's page-table row (padded with 0) — for the prefill call.
@@ -112,7 +145,7 @@ int32_t atom_sched_decode_step(void* h, int32_t* table_out, int32_t* lens_out,
   // pass 1: extend
   for (int32_t i = 0; i < s->batch_size; ++i) {
     Seq& q = s->slots[i];
-    if (q.request_id < 0) continue;
+    if (q.request_id < 0 || q.held) continue;
     q.seqlen += 1;
     if (q.seqlen > static_cast<int32_t>(q.pages.size()) * s->page_size) {
       if (s->free_pages.empty()) return -2;
@@ -129,15 +162,15 @@ int32_t atom_sched_decode_step(void* h, int32_t* table_out, int32_t* lens_out,
   std::memset(table_out, 0, sizeof(int32_t) * s->batch_size * mp);
   for (int32_t i = 0; i < s->batch_size; ++i) {
     const Seq& q = s->slots[i];
-    lens_out[i] = q.request_id < 0 ? 0 : q.seqlen;
-    if (q.request_id < 0) continue;
+    lens_out[i] = (q.request_id < 0 || q.held) ? 0 : q.seqlen;
+    if (q.request_id < 0 || q.held) continue;
     std::memcpy(table_out + i * mp, q.pages.data(),
                 sizeof(int32_t) * q.pages.size());
   }
   // pass 3: retire
   for (int32_t i = 0; i < s->batch_size; ++i) {
     Seq& q = s->slots[i];
-    if (q.request_id < 0) continue;
+    if (q.request_id < 0 || q.held) continue;
     if (--q.remaining <= 0) {
       finished_out[n_finished++] = q.request_id;
       for (int32_t p : q.pages) s->free_pages.push_back(p);

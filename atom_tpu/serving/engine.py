@@ -79,6 +79,7 @@ class TextGenEngine:
         decode_fn: Callable,
         state,
         chunk_fn: Optional[Callable] = None,
+        native: object = "auto",
     ):
         """``chunk_fn`` (optional) enables MIXED scheduling: prompts are
         processed in page-size chunks that ride the decode batch — decode
@@ -97,6 +98,25 @@ class TextGenEngine:
         self.chunk_fn = chunk_fn
         self.state = state
         self.max_pages = -(-cfg.max_seq_len // cfg.page_size)
+        # Native C++ scheduler (page allocator + per-step table/lens
+        # assembly, scheduler.cc): replaces the Python KvPool bookkeeping on
+        # the step path when available.  ``native``: "auto" (use if it
+        # builds), True (required), False (pure Python).  Page assignment
+        # order is identical to KvPool, so both paths produce the same
+        # tables and tokens.
+        self.nat = None
+        if native:
+            try:
+                from atom_tpu.native import NativeScheduler
+
+                self.nat = NativeScheduler(
+                    cfg.batch_size, pool.n_pages, cfg.page_size, self.max_pages
+                )
+            except Exception:
+                if native is not True:
+                    self.nat = None
+                else:
+                    raise
 
     def _bucket(self, t: int) -> int:
         for b in self.cfg.prefill_buckets:
@@ -140,11 +160,18 @@ class TextGenEngine:
                 ):
                     continue
                 r = next_req
+                if self.nat is not None:
+                    got = self.nat.admit_hold(
+                        r, len(rs.prompts[r]), int(rs.output_lens[r])
+                    )
+                    if got == -1 or got == -2:
+                        break  # no slot / pool drained: retry next iteration
+                    assert got == slot, f"native slot {got} != python {slot}"
                 next_req += 1
                 stats[r].submit_t = now
                 prompt = rs.prompts[r]
                 t_true = len(prompt)
-                kv = SeqKvCache(self.pool, t_true)
+                kv = None if self.nat is not None else SeqKvCache(self.pool, t_true)
                 seq = _ActiveSeq(r, kv, int(rs.output_lens[r]), stats[r])
                 if self.chunk_fn is not None:
                     # mixed scheduling: the prompt rides subsequent decode
@@ -154,8 +181,11 @@ class TextGenEngine:
                 bucket = self._bucket(t_true)
                 ids = np.zeros((bucket,), np.int32)
                 ids[:t_true] = prompt
-                table_row = np.zeros((self.max_pages,), np.int32)
-                table_row[: len(kv.page_ids)] = kv.page_ids
+                if self.nat is not None:
+                    table_row = self.nat.table_row(slot).copy()
+                else:
+                    table_row = np.zeros((self.max_pages,), np.int32)
+                    table_row[: len(kv.page_ids)] = kv.page_ids
                 tok, state = self.prefill_fn(
                     state,
                     jnp.asarray(ids),
@@ -173,9 +203,14 @@ class TextGenEngine:
                 seq.remaining -= 1
                 if seq.remaining == 0:  # single-token outputs finish here
                     stats[r].finish_t = stats[r].first_token_t
-                    kv.release()
+                    if self.nat is not None:
+                        self.nat.release(slot)
+                    else:
+                        kv.release()
                     done += 1
                 else:
+                    if self.nat is not None:
+                        self.nat.activate(slot, seq.remaining)
                     workset[slot] = seq
 
             active = [s for s in workset if s is not None]
@@ -183,14 +218,17 @@ class TextGenEngine:
                 continue
 
             # --- one step: whole-workset decode (+ one prefill chunk) ---
-            for slot in range(bsz):
-                s = workset[slot]
-                if s is None:
-                    continue
-                s.kv.acquire_one()  # extend length; allocate page on boundary
-            table, lens = batch_page_table(
-                [s.kv if s else None for s in workset], self.max_pages
-            )
+            if self.nat is not None:
+                table, lens, _fin = self.nat.decode_step()
+            else:
+                for slot in range(bsz):
+                    s = workset[slot]
+                    if s is None:
+                        continue
+                    s.kv.acquire_one()  # extend; allocate page on boundary
+                table, lens = batch_page_table(
+                    [s.kv if s else None for s in workset], self.max_pages
+                )
             # slots that decode THIS step (a prefill completing below joins
             # the workset only for the NEXT step — it must not be retired or
             # recorded this iteration)
@@ -204,8 +242,11 @@ class TextGenEngine:
                 clen = min(chunk, t_true - pos)
                 cids = np.zeros((chunk,), np.int32)
                 cids[:clen] = prompt[pos : pos + clen]
-                table_row = np.zeros((self.max_pages,), np.int32)
-                table_row[: len(seq_p.kv.page_ids)] = seq_p.kv.page_ids
+                if self.nat is not None:
+                    table_row = self.nat.table_row(slot_p).copy()
+                else:
+                    table_row = np.zeros((self.max_pages,), np.int32)
+                    table_row[: len(seq_p.kv.page_ids)] = seq_p.kv.page_ids
                 ids_dev, chunk_tok, state = self.chunk_fn(
                     state,
                     ids_dev,
@@ -228,9 +269,14 @@ class TextGenEngine:
                     del prefilling[slot_p]
                     if seq_p.remaining == 0:
                         seq_p.stat.finish_t = seq_p.stat.first_token_t
-                        seq_p.kv.release()
+                        if self.nat is not None:
+                            self.nat.release(slot_p)
+                        else:
+                            seq_p.kv.release()
                         done += 1
                     else:
+                        if self.nat is not None:
+                            self.nat.activate(slot_p, seq_p.remaining)
                         workset[slot_p] = seq_p
                 else:
                     prefilling[slot_p][1] = pos
@@ -265,7 +311,8 @@ class TextGenEngine:
                 s.remaining -= 1
                 if s.remaining == 0:
                     s.stat.finish_t = now
-                    s.kv.release()
+                    if s.kv is not None:
+                        s.kv.release()  # native frees pages in decode_step
                     workset[slot] = None
                     done += 1
             if progress and done and done % 8 == 0:

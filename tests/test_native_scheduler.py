@@ -79,3 +79,69 @@ def test_native_rejects_unservable_request():
     assert nat.admit(1, 400, 100) >= 0           # 500 tokens fits
     # pool has plenty of pages, so only the bound rejects
     assert nat.admit(2, 513, 1) == -3
+
+
+def test_engine_native_parity():
+    """TextGenEngine(native=True) == TextGenEngine(native=False): identical
+    page assignment order means identical tables, hence identical tokens."""
+    import jax
+    import numpy as np
+
+    from atom_tpu.config import QuantSpec
+    from atom_tpu.models.configs import Arch, ModelConfig
+    from atom_tpu.serving.engine import TextGenConfig, TextGenEngine
+    from atom_tpu.serving.model import (
+        init_serving_params, make_mixed_step_fns, make_serving_state,
+        make_step_fns,
+    )
+    from atom_tpu.serving.workload import RequestSet
+
+    cfg = ModelConfig(
+        arch=Arch.LLAMA, vocab_size=256, hidden_size=1024,
+        intermediate_size=2048, num_layers=2, num_heads=8, num_kv_heads=8,
+        head_dim=128,
+    )
+    spec = QuantSpec(weight_channel_group=1)
+    page = 128
+    params = init_serving_params(jax.random.PRNGKey(1), cfg, spec)
+    rng = np.random.Generator(np.random.PCG64(9))
+    prompts = [
+        rng.integers(1, cfg.vocab_size, int(rng.integers(40, 300))).astype(np.int32)
+        for _ in range(4)
+    ]
+    rs = RequestSet(
+        prompts=prompts,
+        prompt_lens=np.asarray([len(p) for p in prompts]),
+        output_lens=np.asarray([5, 8, 36, 1]),
+    )
+    tg = TextGenConfig(batch_size=2, page_size=page, max_seq_len=512,
+                       prefill_buckets=(128, 256, 512))
+    n_pool = 24
+
+    def run(native, mixed):
+        pool = KvPool(cfg.num_layers, n_pool, cfg.num_kv_heads, page, cfg.head_dim)
+        state = make_serving_state(
+            cfg.num_layers, n_pool, tg.batch_size, cfg.num_kv_heads, page,
+            cfg.head_dim,
+        )
+        if mixed:
+            pre, dec, chunk = make_mixed_step_fns(params, cfg, spec)
+            eng = TextGenEngine(tg, pool, pre, dec, state, chunk_fn=chunk,
+                                native=native)
+        else:
+            eng = TextGenEngine(tg, pool, *make_step_fns(params, cfg, spec),
+                                state, native=native)
+        if native:
+            assert eng.nat is not None
+            res = eng.run(rs, record=True)
+            assert eng.nat.num_free_pages == n_pool - 1
+            assert eng.nat.num_active == 0
+        else:
+            res = eng.run(rs, record=True)
+            assert pool.num_free_pages == n_pool - 1
+        return res
+
+    for mixed in (False, True):
+        res_py = run(native=False, mixed=mixed)
+        res_nat = run(native=True, mixed=mixed)
+        assert res_nat["tokens"] == res_py["tokens"], f"mixed={mixed}"
