@@ -428,6 +428,105 @@ def decode_step(
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_state
 
 
+def causal_code_attention(
+    q: jnp.ndarray,   # [Tq, HQ, D] bf16/f32 (RoPE'd)
+    kq, vq,           # KVQuant over the FULL key range [Tk, Hkv, ...]
+    groups: int,
+    sm_scale: float,
+    row_pos: jnp.ndarray = None,  # int32 [Tq] global query positions
+    key_block: int = 0,
+) -> jnp.ndarray:
+    """Causal affine-code attention -> attn [Tq, HQ*D] bf16.
+
+    The prefill attention core shared by single-chip and sequence-parallel
+    prefill: f32 q times raw u4 K codes with the affine correction, f32
+    softmax, V dequant folded into the probability vector — the SAME
+    numerics the decode kernel reproduces, so decode continuations match
+    prefill predictions.
+
+    ``key_block == 0``: one-pass softmax materializing [HQ, Tq, Tk] scores
+    (fastest to T~2048).  ``key_block > 0``: flash-style online softmax via
+    ``lax.scan`` over key blocks — O(Tq * key_block) live memory, the
+    long-context path past the quadratic wall (the reference carries
+    ``SinglePrefillWithKVCacheKernel`` for this, ``flashinfer/prefill.cuh:79``).
+    """
+    tq, hq, dh = q.shape
+    tk = kq.codes.shape[0]
+    if row_pos is None:
+        row_pos = jnp.arange(tq)
+    qf = q.astype(jnp.float32)
+    q_sum = jnp.sum(qf, axis=2)  # [Tq, HQ]
+    k_codes = jnp.repeat(kq.codes, groups, axis=1).astype(jnp.float32)
+    k_prm = jnp.repeat(kq.params, groups, axis=1)  # [Tk, HQ, 2]
+    v_codes = jnp.repeat(vq.codes, groups, axis=1).astype(jnp.float32)
+    v_prm = jnp.repeat(vq.params, groups, axis=1)
+
+    if key_block == 0 or key_block >= tk:
+        dot = jnp.einsum("qhd,khd->hqk", qf, k_codes)
+        k_scale = k_prm[:, :, 0].T[:, None, :]  # [HQ, 1, Tk]
+        k_zero = k_prm[:, :, 1].T[:, None, :]
+        scores = (dot * k_scale + q_sum.T[:, :, None] * k_zero) * sm_scale
+        mask = jnp.where(
+            jnp.arange(tk)[None, :] <= row_pos[:, None],
+            0.0, jnp.finfo(jnp.float32).min,
+        )[None]
+        probs = jax.nn.softmax(scores + mask, axis=-1)
+        pw = probs * v_prm[:, :, 0].T[:, None, :]
+        attn = jnp.einsum("hqk,khd->qhd", pw, v_codes)
+        attn = attn + jnp.einsum(
+            "hqk,kh->qh", probs, v_prm[:, :, 1]
+        )[..., None]
+        return attn.astype(jnp.bfloat16).reshape(tq, hq * dh)
+
+    while tk % key_block:  # largest power-of-2 fraction that divides Tk
+        key_block //= 2
+        if key_block < 8:
+            key_block = tk
+            break
+    nb = tk // key_block
+
+    def blocked(x):  # [Tk, ...] -> [nb, kb, ...]
+        return x.reshape((nb, key_block) + x.shape[1:])
+
+    kc_b, kp_b = blocked(k_codes), blocked(k_prm)
+    vc_b, vp_b = blocked(v_codes), blocked(v_prm)
+    k0s = jnp.arange(nb) * key_block
+
+    def body(carry, blk):
+        acc, m, l = carry  # [HQ, Tq, D], [HQ, Tq, 1], [HQ, Tq, 1]
+        kc, kp, vc, vp, k0 = blk
+        dot = jnp.einsum("qhd,khd->hqk", qf, kc)
+        k_scale = kp[:, :, 0].T[:, None, :]  # [HQ, 1, kb]
+        k_zero = kp[:, :, 1].T[:, None, :]
+        scores = (dot * k_scale + q_sum.T[:, :, None] * k_zero) * sm_scale
+        valid = (k0 + jnp.arange(key_block))[None, :] <= row_pos[:, None]
+        scores = jnp.where(valid[None], scores, _NEG_INF_PREFILL)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.where(valid[None], jnp.exp(scores - m_new), 0.0)
+        l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+        pw = p * vp[:, :, 0].T[:, None, :]
+        pv = jnp.einsum("hqk,khd->hqd", pw, vc)
+        z = jnp.einsum("hqk,kh->hq", p, vp[:, :, 1])[..., None]
+        return (acc * alpha + pv + z, m_new, l_new), None
+
+    acc0 = jnp.zeros((hq, tq, dh), jnp.float32)
+    m0 = jnp.full((hq, tq, 1), _NEG_INF_PREFILL, jnp.float32)
+    l0 = jnp.zeros((hq, tq, 1), jnp.float32)
+    (acc, m, l), _ = jax.lax.scan(
+        body, (acc0, m0, l0), (kc_b, kp_b, vc_b, vp_b, k0s)
+    )
+    attn = acc / jnp.maximum(l, 1e-20)  # [HQ, Tq, D]
+    return attn.astype(jnp.bfloat16).swapaxes(0, 1).reshape(tq, hq * dh)
+
+
+_NEG_INF_PREFILL = -1e30
+
+# prompts longer than this use the scanned (flash-style) prefill attention
+PREFILL_SCAN_THRESHOLD = 2048
+PREFILL_KEY_BLOCK = 1024
+
+
 def prefill_hidden(
     params: ServingParams,
     pages: List[KVPages],
@@ -448,34 +547,20 @@ def prefill_hidden(
     x = _embed_lookup(params.embed, ids)  # [T, D]
     positions = jnp.arange(t)
     cos, sin = rope_tables(positions, dh, cfg.rope_theta)  # [T, Dh]
-    mask = causal_mask(t, t)[0]  # [1, T, T]
+    key_block = PREFILL_KEY_BLOCK if t > PREFILL_SCAN_THRESHOLD else 0
 
     new_pages = []
     for l, lp in enumerate(params.layers):
         q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
         new_pages.append(append_kv_prefill_kernel(pages[l], kq, vq, table_row))
 
-        # Attention with the SAME numerics as the decode kernel
-        # (``paged_decode_attention_rotated``): f32 q times raw u4 K codes
-        # with the affine correction, f32 softmax, f32 dequantized V, bf16
-        # only at the output — so decode continuations reproduce prefill
-        # predictions exactly.
-        qf = q.astype(jnp.float32)  # [T, H, Dh]
-        k_codes = jnp.repeat(kq.codes, groups, axis=1).astype(jnp.float32)
-        k_prm = jnp.repeat(kq.params, groups, axis=1)  # [T, H, 2]
-        dot = jnp.einsum("qhd,khd->hqk", qf, k_codes)
-        k_scale = k_prm[:, :, 0].T[:, None, :]  # [H, 1, T]
-        k_zero = k_prm[:, :, 1].T[:, None, :]
-        q_sum = jnp.sum(qf, axis=2)  # [T, H]
-        scores = (
-            dot * k_scale + q_sum.T[:, :, None] * k_zero
-        ) * (dh ** -0.5)  # [H, Tq, Tk]
-        probs = jax.nn.softmax(scores + mask, axis=-1)
-        v = repeat_kv(
-            R.dequantize_kv(vq.codes, vq.params).swapaxes(0, 1)[None], groups
-        )[0]  # [H, T, Dh]
-        attn = jnp.einsum("hqk,hkd->hqd", probs, v)
-        attn = attn.astype(jnp.bfloat16).swapaxes(0, 1).reshape(t, -1)
+        # Attention with the SAME numerics as the decode kernel (affine-code
+        # math, f32 softmax, bf16 out) — so decode continuations reproduce
+        # prefill predictions.  Past PREFILL_SCAN_THRESHOLD tokens this runs
+        # the flash-style scanned path (no [H, T, T] materialization).
+        attn = causal_code_attention(
+            q, kq, vq, groups, dh ** -0.5, key_block=key_block
+        )
         x = _post_attn(x, attn, lp, spec, gather)
 
     return rmsnorm(x, params.final_norm, cfg.norm_eps), new_pages

@@ -67,11 +67,11 @@ def sp_prefill_hidden(
     x = _embed_lookup(params.embed, ids_local)  # [T/sp, D]
     positions = pos0 + jnp.arange(t_loc)
     cos, sin = rope_tables(positions, dh, cfg.rope_theta)
-    # causal mask against GLOBAL key positions [T/sp, T]
     t_full = sp * t_loc
-    col = jnp.arange(t_full)[None, :]
-    row = positions[:, None]
-    mask = jnp.where(col <= row, 0.0, jnp.finfo(jnp.float32).min)[None]
+    from atom_tpu.serving.model import (
+        PREFILL_KEY_BLOCK, PREFILL_SCAN_THRESHOLD, causal_code_attention,
+    )
+    key_block = PREFILL_KEY_BLOCK if t_full > PREFILL_SCAN_THRESHOLD else 0
 
     new_pages = []
     for l, lp in enumerate(params.layers):
@@ -82,24 +82,12 @@ def sp_prefill_hidden(
         new_pages.append(
             append_kv_prefill_kernel(pages[l], kq_f, vq_f, table_row)
         )
-
-        qf = q.astype(jnp.float32)  # [T/sp, H, Dh]
-        k_codes = jnp.repeat(kq_f.codes, groups, axis=1).astype(jnp.float32)
-        k_prm = jnp.repeat(kq_f.params, groups, axis=1)  # [T, H, 2]
-        dot = jnp.einsum("qhd,khd->hqk", qf, k_codes)
-        k_scale = k_prm[:, :, 0].T[:, None, :]  # [H, 1, T]
-        k_zero = k_prm[:, :, 1].T[:, None, :]
-        q_sum = jnp.sum(qf, axis=2)  # [T/sp, H]
-        scores = (
-            dot * k_scale + q_sum.T[:, :, None] * k_zero
-        ) * (dh ** -0.5)  # [H, T/sp, T]
-        probs = jax.nn.softmax(scores + mask, axis=-1)
-        v = repeat_kv(
-            R.dequantize_kv(vq_f.codes, vq_f.params).swapaxes(0, 1)[None],
-            groups,
-        )[0]  # [H, T, Dh]
-        attn = jnp.einsum("hqk,hkd->hqd", probs, v)
-        attn = attn.astype(jnp.bfloat16).swapaxes(0, 1).reshape(t_loc, -1)
+        # local query rows vs the full gathered keys; flash-style scanned
+        # past PREFILL_SCAN_THRESHOLD total tokens (no [H, T/sp, T] blowup)
+        attn = causal_code_attention(
+            q, kq_f, vq_f, groups, dh ** -0.5, row_pos=positions,
+            key_block=key_block,
+        )
         x = _post_attn(x, attn, lp, spec)
 
     return rmsnorm(x, params.final_norm, cfg.norm_eps), new_pages
@@ -207,10 +195,10 @@ def make_sp_tp_prefill_fn(
         positions = pos0 + jnp.arange(t_loc)
         cos, sin = rope_tables(positions, dh, cfg.rope_theta)
         t_full = sp * t_loc
-        col = jnp.arange(t_full)[None, :]
-        mask = jnp.where(
-            col <= positions[:, None], 0.0, jnp.finfo(jnp.float32).min
-        )[None]
+        from atom_tpu.serving.model import (
+            PREFILL_KEY_BLOCK, PREFILL_SCAN_THRESHOLD, causal_code_attention,
+        )
+        key_block = PREFILL_KEY_BLOCK if t_full > PREFILL_SCAN_THRESHOLD else 0
 
         new_pages = []
         for l, lp in enumerate(local.layers):
@@ -221,23 +209,10 @@ def make_sp_tp_prefill_fn(
             new_pages.append(
                 append_kv_prefill_kernel(pages[l], kq_f, vq_f, table_row)
             )
-            qf = q.astype(jnp.float32)
-            k_codes = jnp.repeat(kq_f.codes, groups, axis=1).astype(jnp.float32)
-            k_prm = jnp.repeat(kq_f.params, groups, axis=1)
-            dot = jnp.einsum("qhd,khd->hqk", qf, k_codes)
-            k_scale = k_prm[:, :, 0].T[:, None, :]
-            k_zero = k_prm[:, :, 1].T[:, None, :]
-            q_sum = jnp.sum(qf, axis=2)
-            scores = (
-                dot * k_scale + q_sum.T[:, :, None] * k_zero
-            ) * (dh ** -0.5)
-            probs = jax.nn.softmax(scores + mask, axis=-1)
-            v = repeat_kv(
-                R.dequantize_kv(vq_f.codes, vq_f.params).swapaxes(0, 1)[None],
-                groups,
-            )[0]
-            attn = jnp.einsum("hqk,hkd->hqd", probs, v)
-            attn = attn.astype(jnp.bfloat16).swapaxes(0, 1).reshape(t_loc, -1)
+            attn = causal_code_attention(
+                q, kq_f, vq_f, groups, dh ** -0.5, row_pos=positions,
+                key_block=key_block,
+            )
             x = _post_attn(x, attn, lp, spec, gather=gather_tp)
         x = rmsnorm(x, local.final_norm, cfg.norm_eps)
 

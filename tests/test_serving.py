@@ -354,3 +354,80 @@ def test_w4a16_head_logits_delta():
     assert agree4 >= 0.6, f"W4A16 worst-case argmax agreement {agree4:.3f}"
     # the gap that motivates the default:
     assert noise8 * 5 < noise4
+
+
+def test_scanned_prefill_attention_matches_onepass():
+    """causal_code_attention(key_block>0) — the flash-style long-context
+    path — must match the one-pass softmax to f32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atom_tpu.ops import reference as R
+    from atom_tpu.serving.model import causal_code_attention
+
+    t, h, dh, groups = 640, 4, 128, 2  # GQA: 8 q heads over 4 kv heads
+    q = jax.random.normal(jax.random.PRNGKey(0), (t, h * groups, dh), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (t, h, dh), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (t, h, dh), jnp.float32)
+    kq = R.quantize_kv_asym(k)
+    vq = R.quantize_kv_asym(v)
+    ref = causal_code_attention(q, kq, vq, groups, dh ** -0.5, key_block=0)
+    for kb in (128, 320):
+        out = causal_code_attention(q, kq, vq, groups, dh ** -0.5, key_block=kb)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2,  # bf16 output grid
+        )
+
+
+def test_long_context_prefill_4k():
+    """Monolithic prefill past the 2048 scan threshold: a 4096-token prompt
+    through prefill_step (flash-style scanned attention, no [H,T,T]
+    materialization), with a decode continuation on the resulting pages."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atom_tpu.config import QuantSpec
+    from atom_tpu.models.configs import Arch, ModelConfig
+    from atom_tpu.serving.model import (
+        decode_step, init_serving_params, make_serving_state, prefill_step,
+    )
+
+    cfg = ModelConfig(
+        arch=Arch.LLAMA, vocab_size=256, hidden_size=512,
+        intermediate_size=1024, num_layers=1, num_heads=4, num_kv_heads=4,
+        head_dim=128,
+    )
+    spec = QuantSpec(weight_channel_group=1)
+    page, batch = 256, 2
+    t_true = 4000
+    params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    rng = np.random.Generator(np.random.PCG64(4))
+    prompt = rng.integers(1, cfg.vocab_size, t_true).astype(np.int32)
+    n_pages = 20
+    state = make_serving_state(
+        cfg.num_layers, n_pages, batch, cfg.num_kv_heads, page, cfg.head_dim
+    )
+    ids = np.zeros((4096,), np.int32)
+    ids[:t_true] = prompt
+    table_row = jnp.asarray(list(range(1, 17)) + [0] * 4, jnp.int32)
+    tok, state = prefill_step(
+        params, state, jnp.asarray(ids), table_row, jnp.int32(t_true),
+        jnp.int32(0), cfg, spec,
+    )
+    assert 0 <= int(tok) < cfg.vocab_size
+    assert int(state.flushed[0]) == t_true
+    # decode continuation over the 4k-token pages
+    table = jnp.asarray([list(range(1, 17)) + [0] * 4, [0] * 20], jnp.int32)
+    lens = t_true
+    ids_b = jnp.asarray([int(tok), 0], jnp.int32)
+    for _ in range(3):
+        lens += 1
+        ids_b2, state = decode_step(
+            params, state, ids_b, table, jnp.asarray([lens, 0], jnp.int32),
+            cfg, spec,
+        )
+        assert 0 <= int(ids_b2[0]) < cfg.vocab_size
+        ids_b = jnp.asarray([int(ids_b2[0]), 0], jnp.int32)

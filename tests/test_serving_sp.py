@@ -153,3 +153,63 @@ def test_sp_tp_2d_prefill_matches_single_chip():
         state_b, jnp.asarray([int(tok_b)], jnp.int32), table, lens
     )
     assert int(tok2_a[0]) == int(tok2_b[0])
+
+
+def test_sp_tp_long_context_8k_prefill():
+    """8192-token sp x tp prefill through the flash-style scanned attention
+    (t_full > PREFILL_SCAN_THRESHOLD): bitwise-identical pages and token vs
+    the single-chip scanned prefill — the long-context 70B shape."""
+    from jax.sharding import Mesh
+
+    from atom_tpu.serving.parallel import (
+        make_state_sharded,
+        shard_serving_params,
+    )
+    from atom_tpu.serving.sp import make_sp_tp_prefill_fn
+
+    cfg = ModelConfig(
+        arch=Arch.LLAMA,
+        vocab_size=212,
+        hidden_size=256,
+        intermediate_size=512,
+        num_layers=1,
+        num_heads=2,
+        num_kv_heads=2,
+        head_dim=128,
+        max_position_embeddings=8192,
+    )
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("sp", "tp"))
+    params = init_serving_params(jax.random.PRNGKey(7), cfg, SPEC)
+    rng = np.random.Generator(np.random.PCG64(13))
+    t_true = 8000
+    bucket = 8192  # 4096 tokens per sp shard; scan path (8192 > 2048)
+    prompt = rng.integers(1, cfg.vocab_size, t_true).astype(np.int32)
+    ids = np.zeros((bucket,), np.int32)
+    ids[:t_true] = prompt
+    page = 256
+    n_pages = 34
+    table_row = jnp.asarray(list(range(1, 33)) + [0, 0], jnp.int32)
+
+    state_a = make_serving_state(
+        cfg.num_layers, n_pages, 1, cfg.num_kv_heads, page, cfg.head_dim
+    )
+    tok_a, state_a = prefill_step(
+        params, state_a, jnp.asarray(ids), table_row,
+        jnp.int32(t_true), jnp.int32(0), cfg, SPEC,
+    )
+
+    sparams = shard_serving_params(params, cfg, mesh, axis="tp")
+    state_b = make_state_sharded(
+        cfg.num_layers, n_pages, 1, cfg.num_kv_heads, page, cfg.head_dim,
+        mesh, axis="tp",
+    )
+    prefill_2d = make_sp_tp_prefill_fn(sparams, cfg, SPEC, mesh)
+    tok_b, state_b = prefill_2d(
+        state_b, jnp.asarray(ids), table_row,
+        jnp.int32(t_true), jnp.int32(0),
+    )
+    assert int(tok_a) == int(tok_b)
+    assert int(state_b.flushed[0]) == t_true
+    for a, b in zip(state_a.pages[0], state_b.pages[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
