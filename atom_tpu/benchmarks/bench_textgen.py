@@ -97,6 +97,48 @@ def burst_throughput_w4a4(cfg, batch, ctx, n_steps=32, head="bf16"):
     return tok_s, per_window / HOT_W
 
 
+def burst_throughput_moe(batch, ctx, n_steps=32, layers=8):
+    """Real-kernel Mixtral-8x7B-geometry decode burst (MoE serving path).
+
+    Full Mixtral-8x7B does not fit one v5e (8 experts x 47B total params even
+    at 4 bits ~ 23 GB), so this benches a layer slice single-chip — the EP
+    path shards experts+heads across chips for the full model.
+    """
+    from atom_tpu.serving.kvpool import KvPool
+    from atom_tpu.serving.model import make_serving_state
+    from atom_tpu.serving.moe import init_moe_serving_params, make_moe_step_fns
+
+    cfg = ModelConfig(
+        arch=Arch.MIXTRAL, vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=layers, num_heads=32,
+        num_kv_heads=8, head_dim=128, num_experts=8, num_experts_per_tok=2,
+    )
+    spec = ATOM_W4A4
+    params = init_moe_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    page = 256
+    maxp = -(-(ctx + n_steps * 3 + 64) // page)
+    pool = KvPool(cfg.num_layers, batch * maxp + 1, cfg.num_kv_heads, page, cfg.head_dim)
+    table = np.zeros((batch, maxp), np.int32)
+    for b in range(batch):
+        table[b] = np.asarray(pool.alloc(maxp), np.int32)
+    table = jnp.asarray(table)
+    state = [make_serving_state(
+        cfg.num_layers, batch * maxp + 1, batch, cfg.num_kv_heads, page,
+        cfg.head_dim,
+    )._replace(flushed=jnp.full((batch,), ctx, jnp.int32)),
+        jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
+    _, decode_fn = make_moe_step_fns(params, cfg, spec)
+
+    def run(n):
+        for _ in range(int(n)):
+            state[2] = state[2] + 1
+            ids, st = decode_fn(state[0], state[1], table, state[2])
+            state[0], state[1] = st, ids
+        return float(jnp.sum(state[1]))
+
+    return _slope_tok_s(run, batch, n_steps)
+
+
 def _slope_tok_s(run, batch, n_hi):
     run(2)  # compile + warm
     best = 1e9
@@ -191,7 +233,7 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--stacks", nargs="*",
-                    choices=["w4a4", "bf16", "w8a8", "w4a16"],
+                    choices=["w4a4", "bf16", "w8a8", "w4a16", "moe"],
                     default=["w4a4", "bf16", "w8a8", "w4a16"])
     ap.add_argument("--engine", action="store_true")
     ap.add_argument("--head", choices=["bf16", "w8a16", "w4a16"],
@@ -219,6 +261,10 @@ def main(argv=None):
         if stack == "w4a4":
             tok_s, per_step = burst_throughput_w4a4(
                 cfg, args.batch, args.ctx, head=args.head
+            )
+        elif stack == "moe":
+            tok_s, per_step = burst_throughput_moe(
+                args.batch, args.ctx, layers=args.layers
             )
         else:
             tok_s, per_step = burst_throughput_baseline(
