@@ -75,9 +75,12 @@ int32_t atom_sched_admit(void* h, int32_t request_id, int32_t prompt_len,
     if (s->slots[i].request_id < 0) { slot = i; break; }
   }
   if (slot < 0) return -1;
+  // Permanent unservability (-3) is checked before transient pool pressure
+  // (-2): a request that can never fit max_pages_per_seq must fail fast and
+  // deterministically, not masquerade as "pool busy" while pages are scarce.
+  if (s->pages_for(prompt_len + output_len) > s->max_pages_per_seq) return -3;
   const int32_t need = s->pages_for(prompt_len);
   if (need > static_cast<int32_t>(s->free_pages.size())) return -2;
-  if (s->pages_for(prompt_len + output_len) > s->max_pages_per_seq) return -3;
   Seq& q = s->slots[slot];
   q.request_id = request_id;
   q.remaining = output_len;

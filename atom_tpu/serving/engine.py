@@ -166,6 +166,13 @@ class TextGenEngine:
                     )
                     if got == -1 or got == -2:
                         break  # no slot / pool drained: retry next iteration
+                    if got == -3:
+                        raise ValueError(
+                            f"request {r} unservable: prompt "
+                            f"({len(rs.prompts[r])}) + output "
+                            f"({int(rs.output_lens[r])}) tokens exceed "
+                            f"max_seq_len ({self.cfg.max_seq_len})"
+                        )
                     assert got == slot, f"native slot {got} != python {slot}"
                 next_req += 1
                 stats[r].submit_t = now

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from atom_tpu.ops.kv_layout import make_kv_pages_kernel
 from atom_tpu.utils.timing import bench_op
 
 
@@ -358,7 +357,13 @@ def main():
     ctx = args.ctx
     maxp = ctx // S
     n_pages = B * maxp + 1
-    pages = make_kv_pages_kernel(n_pages, H, S, D)
+    # This script predates the dense-params KVPages layout (b59dd50 merged
+    # the four param planes into params [P,4,H,S]); build the old-layout
+    # inputs it was written against explicitly.
+    k_pages = jnp.zeros((n_pages, H, D // 2, S), jnp.int8)
+    k_params = jnp.zeros((n_pages, H, 2, S), jnp.float32)
+    v_pages = jnp.zeros((n_pages, H, S // 2, D), jnp.int8)
+    v_params = jnp.zeros((n_pages, H, 2, S), jnp.float32)
     table = jnp.arange(1, n_pages).reshape(B, maxp).astype(jnp.int32)
     lens = jnp.full((B,), ctx, jnp.int32)
     q = jax.random.normal(key, (B, H, D), jnp.bfloat16)
@@ -375,8 +380,8 @@ def main():
     for rnd in range(args.rounds):
         for v, fn in specs:
             dt = bench_op(
-                lambda q_: fn(q_, pages.k_pages, pages.k_params,
-                              pages.v_pages, pages.v_params, table, lens),
+                lambda q_: fn(q_, k_pages, k_params,
+                              v_pages, v_params, table, lens),
                 [q], iters=args.iters)
             best[v] = min(best[v], dt)
             print(f"rnd{rnd} {v:10s}: {dt * 1e6:7.1f} us", flush=True)

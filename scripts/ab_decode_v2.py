@@ -207,7 +207,7 @@ def main():
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--variants", default="v1,v2,v2dma")
+    ap.add_argument("--variants", default="v2,v2dma")
     args = ap.parse_args()
 
     key = jax.random.PRNGKey(2)
@@ -231,12 +231,14 @@ def main():
                 "abdk", "/root/repo/scripts/ab_decode_kernel.py")
             abdk = importlib.util.module_from_spec(spec_)
             spec_.loader.exec_module(abdk)
-            from atom_tpu.ops.kv_layout import make_kv_pages_kernel
-            pages = make_kv_pages_kernel(n_pages, H, S, D)
+            # v1 predates the dense-params KVPages layout (merged into
+            # params [P,4,H,S] at b59dd50) — build its old-layout inputs
+            # explicitly rather than reading removed KVPages fields.
+            kprm1 = jnp.zeros((n_pages, H, 2, S), jnp.float32)
+            vprm1 = jnp.zeros((n_pages, H, 2, S), jnp.float32)
             f = abdk.make_fn("split")
-            specs[v] = (lambda f=f, pages=pages: bench_op(
-                lambda q_: f(q_, pages.k_pages, pages.k_params,
-                             pages.v_pages, pages.v_params, table, lens),
+            specs[v] = (lambda f=f: bench_op(
+                lambda q_: f(q_, kp, kprm1, vp, vprm1, table, lens),
                 [q], iters=args.iters))
         else:
             hb = 16
