@@ -161,7 +161,11 @@ def burst_throughput_baseline(cfg, batch, ctx, kind, n_steps=32):
     )
 
     max_t = ctx + n_steps * 3 + 64
-    kvs = make_dense_kv(cfg.num_layers, batch, max_t, cfg.num_kv_heads, cfg.head_dim)
+    # w8a8 stores 8-bit KV (punica-int8 keeps an fp8 decode-attention
+    # variant); bf16/w4a16 use bf16 KV like punica-fp16/awq.
+    kv_dtype = jnp.float8_e4m3fn if kind == "w8a8" else jnp.bfloat16
+    kvs = make_dense_kv(cfg.num_layers, batch, max_t, cfg.num_kv_heads,
+                        cfg.head_dim, dtype=kv_dtype)
     if kind == "bf16":
         params = init_bf16_params(jax.random.PRNGKey(0), cfg)
         burst = bf16_decode_burst
@@ -219,6 +223,7 @@ def engine_run(cfg, batch, n_requests, stack="w4a4"):
         state = make_dense_kv(
             cfg.num_layers, batch, tg.max_seq_len, cfg.num_kv_heads,
             cfg.head_dim,
+            dtype=jnp.float8_e4m3fn if stack == "w8a8" else jnp.bfloat16,
         )
         step_fns = make_baseline_step_fns(params, cfg, stack)
     engine = TextGenEngine(tg, pool, *step_fns, state, chunk_fn=chunk_fn)

@@ -75,28 +75,33 @@ class Bf16Params(NamedTuple):
     layers: List[Bf16Layer]
 
 
-def init_bf16_params(key, cfg: ModelConfig) -> Bf16Params:
+def _init_bf16_layer(keys7, cfg: ModelConfig) -> Bf16Layer:
     d = cfg.hidden_size
     n_q = cfg.num_heads * cfg.head_dim
     n_kv = cfg.num_kv_heads * cfg.head_dim
     inter = cfg.intermediate_size
-    keys = jax.random.split(key, 2 + 7 * cfg.num_layers)
 
     def w(k, i, o):
         return (jax.random.normal(k, (i, o), jnp.bfloat16) * (i ** -0.5))
 
+    return Bf16Layer(
+        ln_attn=jnp.ones((d,), jnp.bfloat16),
+        ln_mlp=jnp.ones((d,), jnp.bfloat16),
+        wq=w(keys7[0], d, n_q),
+        wk=w(keys7[1], d, n_kv),
+        wv=w(keys7[2], d, n_kv),
+        wo=w(keys7[3], n_q, d),
+        wgate=w(keys7[4], d, inter),
+        wup=w(keys7[5], d, inter),
+        wdown=w(keys7[6], inter, d),
+    )
+
+
+def init_bf16_params(key, cfg: ModelConfig) -> Bf16Params:
+    d = cfg.hidden_size
+    keys = jax.random.split(key, 2 + 7 * cfg.num_layers)
     layers = [
-        Bf16Layer(
-            ln_attn=jnp.ones((d,), jnp.bfloat16),
-            ln_mlp=jnp.ones((d,), jnp.bfloat16),
-            wq=w(keys[2 + 7 * l + 0], d, n_q),
-            wk=w(keys[2 + 7 * l + 1], d, n_kv),
-            wv=w(keys[2 + 7 * l + 2], d, n_kv),
-            wo=w(keys[2 + 7 * l + 3], n_q, d),
-            wgate=w(keys[2 + 7 * l + 4], d, inter),
-            wup=w(keys[2 + 7 * l + 5], d, inter),
-            wdown=w(keys[2 + 7 * l + 6], inter, d),
-        )
+        _init_bf16_layer(keys[2 + 7 * l : 2 + 7 * (l + 1)], cfg)
         for l in range(cfg.num_layers)
     ]
     return Bf16Params(
@@ -115,8 +120,12 @@ def _dense_decode_attention(q, kv: DenseKV, seq_lens, cfg):
     strongest simple dense-cache baseline."""
     b, hq, dh = q.shape
     max_t = kv.k.shape[1]
-    k = repeat_kv(kv.k.transpose(0, 2, 1, 3), cfg.kv_groups)  # [B, Hq, T, Dh]
-    v = repeat_kv(kv.v.transpose(0, 2, 1, 3), cfg.kv_groups)
+    # KV may be stored sub-bf16 (fp8 for the w8a8 stack, punica-int8's 8-bit
+    # KV analog); the cast fuses into the einsum operand load.
+    k = repeat_kv(
+        kv.k.astype(jnp.bfloat16).transpose(0, 2, 1, 3), cfg.kv_groups
+    )  # [B, Hq, T, Dh]
+    v = repeat_kv(kv.v.astype(jnp.bfloat16).transpose(0, 2, 1, 3), cfg.kv_groups)
     scores = jnp.einsum(
         "bhd,bhtd->bht", q, k, preferred_element_type=jnp.float32
     ) * (dh ** -0.5)
@@ -229,9 +238,15 @@ def _quant_w8(w: jnp.ndarray) -> W8Weight:
 
 
 def init_w8_params(key, cfg: ModelConfig) -> W8Params:
-    bp = init_bf16_params(key, cfg)
-    layers = [
-        W8Layer(
+    # Layer-by-layer: generate one bf16 layer, quantize it, drop it — the
+    # full-geometry bf16 model (13.5 GB at 7B) never coexists with its
+    # quantized copy in HBM (it wouldn't fit on a 16 GB v5e).
+    d = cfg.hidden_size
+    keys = jax.random.split(key, 2 + 7 * cfg.num_layers)
+    layers = []
+    for l in range(cfg.num_layers):
+        lp = _init_bf16_layer(keys[2 + 7 * l : 2 + 7 * (l + 1)], cfg)
+        layers.append(W8Layer(
             ln_attn=lp.ln_attn,
             ln_mlp=lp.ln_mlp,
             wq=_quant_w8(lp.wq),
@@ -241,10 +256,15 @@ def init_w8_params(key, cfg: ModelConfig) -> W8Params:
             wgate=_quant_w8(lp.wgate),
             wup=_quant_w8(lp.wup),
             wdown=_quant_w8(lp.wdown),
-        )
-        for lp in bp.layers
-    ]
-    return W8Params(bp.embed, bp.final_norm, bp.lm_head, layers)
+        ))
+        jax.block_until_ready(layers[-1])
+        del lp
+    return W8Params(
+        embed=jax.random.normal(keys[0], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
+        final_norm=jnp.ones((d,), jnp.bfloat16),
+        lm_head=jax.random.normal(keys[1], (d, cfg.vocab_size), jnp.bfloat16) * 0.02,
+        layers=layers,
+    )
 
 
 def _w8a8_matmul(x, w: W8Weight):
@@ -312,19 +332,28 @@ class W4A16Params(NamedTuple):
 def init_w4a16_params(key, cfg: ModelConfig) -> W4A16Params:
     from atom_tpu.ops.pallas_gemm_w4a16 import quantize_w4a16
 
-    bp = init_bf16_params(key, cfg)
-    layers = [
-        W4A16Layer(
+    # Layer-by-layer for the same HBM reason as init_w8_params.
+    d = cfg.hidden_size
+    keys = jax.random.split(key, 2 + 7 * cfg.num_layers)
+    layers = []
+    for l in range(cfg.num_layers):
+        lp = _init_bf16_layer(keys[2 + 7 * l : 2 + 7 * (l + 1)], cfg)
+        layers.append(W4A16Layer(
             ln_attn=lp.ln_attn,
             ln_mlp=lp.ln_mlp,
             **{
                 f"w{n}": quantize_w4a16(getattr(lp, f"w{n}").astype(jnp.float32))
                 for n in ("q", "k", "v", "o", "gate", "up", "down")
             },
-        )
-        for lp in bp.layers
-    ]
-    return W4A16Params(bp.embed, bp.final_norm, bp.lm_head, layers)
+        ))
+        jax.block_until_ready(layers[-1])
+        del lp
+    return W4A16Params(
+        embed=jax.random.normal(keys[0], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
+        final_norm=jnp.ones((d,), jnp.bfloat16),
+        lm_head=jax.random.normal(keys[1], (d, cfg.vocab_size), jnp.bfloat16) * 0.02,
+        layers=layers,
+    )
 
 
 def _w4a16_matmul(x, wq):
