@@ -92,3 +92,31 @@ def get_loaders(
         start = int(rng.integers(0, len(train_ids) - seqlen - 1))
         batches.append(train_ids[start : start + seqlen][None].astype(np.int32))
     return batches, test_ids.astype(np.int32)
+
+
+def corpus_loaders(
+    nsamples: int = 16,
+    seqlen: int = 2048,
+    seed: int = 0,
+    corpus_dir: str = "data/corpus",
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Loaders over the vendored real-text corpus (byte-level).
+
+    The wikitext2-analog for this egress-free environment: real English prose
+    (data/corpus/PROVENANCE.md) tokenized as raw UTF-8 bytes
+    (``utils/bytetok.py``).  Calibration samples are seeded random ``seqlen``
+    windows of train.txt; the test stream is all of eval.txt — mirroring
+    ``get_loaders`` (datautils.py:148-179).
+    """
+    import os
+
+    from atom_tpu.utils import bytetok
+
+    train = bytetok.encode_file(os.path.join(corpus_dir, "train.txt"))
+    test = bytetok.encode_file(os.path.join(corpus_dir, "eval.txt"))
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(nsamples):
+        start = int(rng.integers(0, len(train) - seqlen - 1))
+        batches.append(train[start : start + seqlen][None].astype(np.int32))
+    return batches, test.astype(np.int32)

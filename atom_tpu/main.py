@@ -34,6 +34,7 @@ MODEL_PRESETS = {
     "opt-1.3b": "OPT_1_3B",
     "opt-6.7b": "OPT_6_7B",
     "mixtral-8x7b": "MIXTRAL_8X7B",
+    "byte-lm": "BYTE_LM",
     "tiny-llama": "TINY_LLAMA",
     "tiny-llama-gqa": "TINY_LLAMA_GQA",
     "tiny-opt": "TINY_OPT",
@@ -48,8 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("model", choices=sorted(MODEL_PRESETS), help="model geometry")
     p.add_argument(
         "dataset",
-        choices=["wikitext2", "ptb", "c4", "synthetic"],
-        help="calibration dataset",
+        choices=["wikitext2", "ptb", "c4", "synthetic", "corpus"],
+        help="calibration dataset (corpus = vendored real-text byte corpus)",
     )
     # quantization scheme (model/main.py:58-191 flag surface)
     p.add_argument("--wbits", type=int, default=4)
@@ -88,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zs_limit", type=int, default=0)
     p.add_argument("--eval_datasets", nargs="*", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="npz pytree checkpoint (scripts/train_corpus_model.py)")
+    p.add_argument("--corpus_dir", type=str, default="data/corpus")
     p.add_argument("--hf_path", type=str, default=None,
                    help="local HF checkpoint dir (weights + tokenizer)")
     p.add_argument("--save_dir", type=str, default=None,
@@ -128,6 +132,12 @@ def load_data(args, cfg):
 
     seqlen = args.seqlen or min(cfg.max_position_embeddings, 2048)
     eval_sets = args.eval_datasets or [args.dataset]
+    if args.dataset == "corpus":
+        batches, test = D.corpus_loaders(
+            nsamples=args.calib_samples, seqlen=seqlen, seed=args.seed,
+            corpus_dir=args.corpus_dir,
+        )
+        return batches, {name: test for name in eval_sets}, seqlen
     if args.dataset == "synthetic" or args.hf_path is None:
         batches, test = D.synthetic_loaders(
             cfg.vocab_size,
@@ -179,6 +189,11 @@ def main(argv=None):
     t0 = time.time()
     if args.hf_path:
         params = m.load_hf_params(args.hf_path, cfg)  # gated; local checkpoints only
+    elif args.ckpt:
+        from atom_tpu.utils.checkpoint import restore_pytree
+
+        like = m.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        params = restore_pytree(args.ckpt, like)
     else:
         params = m.init_params(jax.random.PRNGKey(args.seed), cfg, jnp.bfloat16)
     print(f"params ready in {time.time() - t0:.1f}s", flush=True)

@@ -122,6 +122,12 @@ OPT_6_7B = opt(4096, 16384, 32, 32)
 
 # -- Tiny geometries for tests (head_dim kept at 128-compatible multiples where
 #    the KV quantization granularity matters; tests may use smaller). --
+# OPT-125M-class byte-level Llama geometry for the real-text accuracy
+# artifact: trained on the vendored corpus (scripts/train_corpus_model.py),
+# then run through the full ablation ladder.  head_dim kept at 128 (the
+# per-head KV quant path asserts it, matching model/quant.py:237).
+BYTE_LM = llama(768, 2048, 12, 6, vocab=256, max_pos=2048, norm_eps=1e-6)
+
 TINY_LLAMA = llama(256, 512, 2, 4, vocab=512, max_pos=256)
 TINY_LLAMA_GQA = llama(256, 512, 2, 4, kv_heads=2, vocab=512, max_pos=256)
 TINY_OPT = opt(128, 256, 2, 4, vocab=512)
