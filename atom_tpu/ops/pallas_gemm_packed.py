@@ -597,3 +597,242 @@ def packed_w4_gemm_qkv(
     k_codes, k_prm = split(n_q, n_q_tiles)
     v_codes, v_prm = split(n_q + n_kv, n_q_tiles + n_k_tiles)
     return q, k_codes, k_prm, v_codes, v_prm
+
+
+# ---------------------------------------------------------------------------
+# Fused qkv projection with DIRECT hot-ring stores (decode path)
+# ---------------------------------------------------------------------------
+#
+# ``packed_w4_gemm_qkv`` still hands its K/V codes to ``kv_hot.write_hot`` —
+# 4 dynamic-update-slices plus the q/k/v slicing-and-reshaping glue, ~10-12
+# dispatched XLA ops per layer (~5-6 us each on v5e).  This variant stores
+# the quantized K/V *into the ring buffers from inside the GEMM kernel*:
+# the ring arrays are aliased in/out (same trick as
+# ``pallas_decode.flush_hot_pallas``) and the scalar-prefetched ring row
+# drives the output index maps, so only ring row ``row`` is touched — the
+# TPU analog of the reference writing its o4 epilogue straight to the KV
+# cache feed (``DenseLayerGEMM_i4_o4.cu:728-775``).
+#
+# Out-block lifecycle (n-axis grid is "arbitrary", blocks write back when
+# their index map changes): the prm blocks and the first k/v code blocks are
+# PRIMED from the aliased ring at j == 0, every k/v code block is fully
+# rewritten at its own j, and prm head lanes accumulate over the k/v j's —
+# so each block's final write-back holds new codes for this row and old data
+# nowhere it shouldn't.
+
+
+def _kv_quantize_tile(x, head_dim):
+    """Per-head asym u4 quantize of a [tm, heads*head_dim] tile.
+
+    Returns (codes per head list, scale [tm,1] list, zero_val [tm,1] list);
+    bf16-rounded params exactly matching ``reference.quantize_kv_asym``.
+    """
+    heads = x.shape[1] // head_dim
+    codes, scales, zeros = [], [], []
+    for h in range(heads):
+        blk = x[:, h * head_dim : (h + 1) * head_dim]
+        xmax = jnp.max(blk, axis=1, keepdims=True)
+        xmin = jnp.min(blk, axis=1, keepdims=True)
+        scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
+        scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
+        zero = jnp.clip(jnp.round(-xmin / scale), 0.0, 15.0)
+        codes.append(
+            jnp.clip(jnp.round(blk / scale) + zero, 0.0, 15.0).astype(jnp.int8)
+        )
+        zeros.append((-zero * scale).astype(jnp.bfloat16).astype(jnp.float32))
+        scales.append(scale)
+    return codes, scales, zeros
+
+
+def _gemm_qkv_ring_kernel(
+    row_ref,           # int32 [1] scalar prefetch (unused in body; drives maps)
+    cos_ref, sin_ref,  # f32 [tm, head_dim]
+    a_ref, wp_ref, wk_ref, sa_ref, sw_ref,
+    kc_in, kp_in, vc_in, vp_in,   # aliased ring blocks (prime source)
+    q_ref,    # bf16 [tm, tn] — RoPE'd q (q region)
+    kc_ref,   # int8 [tm, hpt, 1, D] — ring row block (k region)
+    kp_ref,   # f32  [tm, 1, 2, H]
+    vc_ref,   # int8 [tm, hpt, 1, D]
+    vp_ref,   # f32  [tm, 1, 2, H]
+    *,
+    ng: int,
+    head_dim: int,
+    n_q_tiles: int,
+    n_k_tiles: int,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _prime():
+        kc_ref[:] = kc_in[:]
+        kp_ref[:] = kp_in[:]
+        vc_ref[:] = vc_in[:]
+        vp_ref[:] = vp_in[:]
+
+    acc = jnp.zeros(q_ref.shape, jnp.float32)
+    for g in range(ng):
+        w_lo, w_hi = _unpack_nibbles(wp_ref[g * HALF : (g + 1) * HALF, :])
+        a_lo = a_ref[:, g * GROUP : g * GROUP + HALF]
+        a_hi = a_ref[:, g * GROUP + HALF : (g + 1) * GROUP]
+        acc_g = _DOT_I32(a_lo, w_lo) + _DOT_I32(a_hi, w_hi)
+        acc += (
+            acc_g.astype(jnp.float32)
+            * sa_ref[:, g : g + 1]
+            * sw_ref[g : g + 1, :]
+        )
+    acc_k = _DOT_I32(a_ref[:, ng * GROUP : (ng + 1) * GROUP], wk_ref[:])
+    acc += (
+        acc_k.astype(jnp.float32)
+        * sa_ref[:, ng : ng + 1]
+        * sw_ref[ng : ng + 1, :]
+    )
+
+    heads = q_ref.shape[1] // head_dim
+    half = head_dim // 2
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+
+    def roped():
+        parts = []
+        for h in range(heads):
+            blk = acc[:, h * head_dim : (h + 1) * head_dim]
+            rot = jnp.concatenate([-blk[:, half:], blk[:, :half]], axis=1)
+            parts.append(blk * cos + rot * sin)
+        return jnp.concatenate(parts, axis=1)
+
+    def store_ring(x, c_ref, p_ref, tile0):
+        codes, scales, zeros = _kv_quantize_tile(x, head_dim)
+        n_h = p_ref.shape[3]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n_h), 1)
+        s_row = p_ref[:, 0, 0, :]
+        z_row = p_ref[:, 0, 1, :]
+        for h in range(heads):
+            c_ref[:, h, 0, :] = codes[h]
+            gh = (j - tile0) * heads + h
+            s_row = jnp.where(lane == gh, scales[h], s_row)
+            z_row = jnp.where(lane == gh, zeros[h], z_row)
+        p_ref[:, 0, 0, :] = s_row
+        p_ref[:, 0, 1, :] = z_row
+
+    @pl.when(j < n_q_tiles)
+    def _q():
+        q_ref[:] = roped().astype(q_ref.dtype)
+
+    @pl.when((j >= n_q_tiles) & (j < n_q_tiles + n_k_tiles))
+    def _k():
+        store_ring(roped(), kc_ref, kp_ref, n_q_tiles)
+
+    @pl.when(j >= n_q_tiles + n_k_tiles)
+    def _v():
+        store_ring(acc, vc_ref, vp_ref, n_q_tiles + n_k_tiles)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_q", "n_kv", "head_dim", "tile_n", "interpret"),
+    donate_argnames=("k_codes", "k_prm", "v_codes", "v_prm"),
+)
+def packed_w4_gemm_qkv_ring(
+    a: jnp.ndarray,   # int8 [M, kb + GROUP]
+    wp: jnp.ndarray,  # int8 [kb // 2, N]  (N = n_q + 2 * n_kv)
+    wk: jnp.ndarray,  # int8 [GROUP, N]
+    sa: jnp.ndarray,  # f32 [M, ng + 1]
+    sw: jnp.ndarray,  # f32 [ng + 1, N]
+    cos: jnp.ndarray,  # f32 [M, head_dim]
+    sin: jnp.ndarray,
+    k_codes: jnp.ndarray,  # int8 [M, H, W, D] — hot ring (donated)
+    k_prm: jnp.ndarray,    # f32  [M, W, 2, H]
+    v_codes: jnp.ndarray,
+    v_prm: jnp.ndarray,
+    row: jnp.ndarray,      # int32 scalar — ring row to write
+    n_q: int,
+    n_kv: int,
+    head_dim: int = 128,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """Decode-shape fused qkv GEMM storing K/V straight into the hot ring.
+
+    Returns (q bf16 [M, n_q] RoPE'd, k_codes', k_prm', v_codes', v_prm') —
+    the ring arrays updated in place (aliased) at ring row ``row``.
+    M must equal the ring's batch dim.
+    """
+    from atom_tpu.ops.runtime import interpret_default
+
+    interpret = interpret_default(interpret)
+    m, ktot = a.shape
+    n = wp.shape[1]
+    kb = ktot - GROUP
+    ng = kb // GROUP
+    tn = tile_n
+    assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
+    assert k_codes.shape[0] == m, "ring batch must equal GEMM M (no padding)"
+    assert m % 32 == 0, "decode batch must be sublane-aligned"
+    n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
+    hpt = tn // head_dim
+    n_h = k_prm.shape[3]
+    w_ring = k_codes.shape[2]
+    tm = min(256, m)
+
+    kernel = functools.partial(
+        _gemm_qkv_ring_kernel,
+        ng=ng,
+        head_dim=head_dim,
+        n_q_tiles=n_q_tiles,
+        n_k_tiles=n_k_tiles,
+    )
+    n_tiles = n // tn
+
+    def kc_map(i, j, row_ref):
+        return (i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), row_ref[0], 0)
+
+    def vc_map(i, j, row_ref):
+        return (
+            i, jnp.clip(j - n_q_tiles - n_k_tiles, 0, n_k_tiles - 1),
+            row_ref[0], 0,
+        )
+
+    def prm_map(i, j, row_ref):
+        return (i, row_ref[0], 0, 0)
+
+    kc_spec = pl.BlockSpec((tm, hpt, 1, head_dim), kc_map)
+    vc_spec = pl.BlockSpec((tm, hpt, 1, head_dim), vc_map)
+    kp_spec = pl.BlockSpec((tm, 1, 2, n_h), prm_map)
+    vp_spec = pl.BlockSpec((tm, 1, 2, n_h), prm_map)
+
+    q, kc, kp, vc, vp = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m // tm, n_tiles),
+            in_specs=[
+                pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
+                pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
+                pl.BlockSpec((tm, ktot), lambda i, j, r: (i, 0)),
+                pl.BlockSpec((kb // 2, tn), lambda i, j, r: (0, j)),
+                pl.BlockSpec((GROUP, tn), lambda i, j, r: (0, j)),
+                pl.BlockSpec((tm, ng + 1), lambda i, j, r: (i, 0)),
+                pl.BlockSpec((ng + 1, tn), lambda i, j, r: (0, j)),
+                kc_spec, kp_spec, vc_spec, vp_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((tm, tn), lambda i, j, r: (i, jnp.minimum(j, n_q_tiles - 1))),
+                kc_spec, kp_spec, vc_spec, vp_spec,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n_q), jnp.bfloat16),
+            jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
+            jax.ShapeDtypeStruct(k_prm.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
+            jax.ShapeDtypeStruct(v_prm.shape, jnp.float32),
+        ],
+        # ring inputs are 8..11 (after 1 prefetch + 7 GEMM inputs), outputs 1..4
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(row, jnp.int32).reshape(1), cos, sin, a, wp, wk, sa, sw,
+      k_codes, k_prm, v_codes, v_prm)
+    return q, kc, kp, vc, vp

@@ -279,6 +279,48 @@ def _post_attn(
     return x + g(quant_gemm_packed(d_in, lp.wdown))
 
 
+def _attn_block_decode_ring(
+    x, lp: ServingLayerParams, cfg: ModelConfig, spec: QuantSpec, rope,
+    hot: HotKV, row,
+):
+    """Decode-only attn input block: fused qkv GEMM storing K/V DIRECTLY
+    into the hot ring (``packed_w4_gemm_qkv_ring``) — removes the per-layer
+    ``write_hot`` DUS chain and q/k/v slicing glue (~10 XLA ops/layer).
+
+    Returns (q [B, heads, dh], updated HotKV).  Falls back to
+    ``_attn_block_common`` + ``write_hot`` off the fused-geometry path.
+    """
+    n_q = cfg.num_heads * cfg.head_dim
+    n_kv = cfg.num_kv_heads * cfg.head_dim
+    dh = cfg.head_dim
+    b = x.shape[0]
+    if not (n_q % 512 == 0 and n_kv % 512 == 0 and dh == 128 and b % 32 == 0):
+        q, kq, vq = _attn_block_common(x, lp, cfg, spec, rope)
+        return q, write_hot(hot, row, kq, vq)
+
+    from atom_tpu.ops.pallas_gemm_packed import (
+        assemble_activation,
+        packed_w4_gemm_qkv_ring,
+    )
+
+    cos, sin = rope
+    h_in = R.rmsnorm_reorder_quant(x, lp.ln_attn, lp.attn_reorder, spec)
+    a, sa = assemble_activation(h_in)
+    sw = jnp.concatenate(
+        [lp.wqkv.body_scale, lp.wqkv.keeper_scale[None, :]], axis=0
+    )
+    q, kc, kp, vc, vp = packed_w4_gemm_qkv_ring(
+        a, lp.wqkv.body_packed, lp.wqkv.keeper, sa, sw,
+        cos.astype(jnp.float32), sin.astype(jnp.float32),
+        hot.k_codes, hot.k_prm, hot.v_codes, hot.v_prm, row,
+        n_q=n_q, n_kv=n_kv, head_dim=dh,
+    )
+    return (
+        q.reshape(b, cfg.num_heads, dh),
+        HotKV(k_codes=kc, k_prm=kp, v_codes=vc, v_prm=vp),
+    )
+
+
 class ServingState(NamedTuple):
     """Device-side decode state threaded through the step functions.
 
@@ -365,10 +407,10 @@ def decode_hidden(
     new_pages, new_hot = [], []
     for l, lp in enumerate(params.layers):
       with jax.named_scope(f"layer{l}"):
-        with jax.named_scope("qkv"):
-            q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
-        with jax.named_scope("ring_write"):
-            hot_l = write_hot(state.hot[l], row, kq, vq)
+        with jax.named_scope("qkv_ring"):
+            q, hot_l = _attn_block_decode_ring(
+                x, lp, cfg, spec, (cos, sin), state.hot[l], row
+            )
         new_hot.append(hot_l)
 
         if flush:
