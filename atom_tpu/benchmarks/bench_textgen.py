@@ -104,9 +104,10 @@ def burst_throughput_moe(batch, ctx, n_steps=32, layers=8):
     at 4 bits ~ 23 GB), so this benches a layer slice single-chip — the EP
     path shards experts+heads across chips for the full model.
     """
+    from atom_tpu.ops.kv_hot import HOT_W
     from atom_tpu.serving.kvpool import KvPool
     from atom_tpu.serving.model import make_serving_state
-    from atom_tpu.serving.moe import init_moe_serving_params, make_moe_step_fns
+    from atom_tpu.serving.moe import decode_burst_moe, init_moe_serving_params
 
     cfg = ModelConfig(
         arch=Arch.MIXTRAL, vocab_size=32000, hidden_size=4096,
@@ -115,8 +116,9 @@ def burst_throughput_moe(batch, ctx, n_steps=32, layers=8):
     )
     spec = ATOM_W4A4
     params = init_moe_serving_params(jax.random.PRNGKey(0), cfg, spec)
-    page = 256
-    maxp = -(-(ctx + n_steps * 3 + 64) // page)
+    n_hi = max(n_steps // HOT_W, 2) + 2
+    total_steps = (2 + 3 * (2 + n_hi)) * HOT_W
+    page, maxp = 256, -(-(ctx + total_steps + 64) // 256)
     pool = KvPool(cfg.num_layers, batch * maxp + 1, cfg.num_kv_heads, page, cfg.head_dim)
     table = np.zeros((batch, maxp), np.int32)
     for b in range(batch):
@@ -127,16 +129,16 @@ def burst_throughput_moe(batch, ctx, n_steps=32, layers=8):
         cfg.head_dim,
     )._replace(flushed=jnp.full((batch,), ctx, jnp.int32)),
         jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
-    _, decode_fn = make_moe_step_fns(params, cfg, spec)
 
-    def run(n):
-        for _ in range(int(n)):
-            state[2] = state[2] + 1
-            ids, st = decode_fn(state[0], state[1], table, state[2])
-            state[0], state[1] = st, ids
-        return float(jnp.sum(state[1]))
+    def run(n):  # n = ring WINDOWS of HOT_W steps (dispatch-free burst)
+        ids, st, lens = decode_burst_moe(
+            params, state[0], state[1], table, state[2], jnp.int32(n), cfg, spec
+        )
+        state[0], state[1], state[2] = st, ids, lens
+        return float(jnp.sum(ids))
 
-    return _slope_tok_s(run, batch, n_steps)
+    tok_s, per_window = _slope_tok_s(run, batch * HOT_W, n_hi)
+    return tok_s, per_window / HOT_W
 
 
 def _slope_tok_s(run, batch, n_hi):
@@ -163,7 +165,7 @@ def burst_throughput_baseline(cfg, batch, ctx, kind, n_steps=32):
     max_t = ctx + n_steps * 3 + 64
     # w8a8 stores 8-bit KV (punica-int8 keeps an fp8 decode-attention
     # variant); bf16/w4a16 use bf16 KV like punica-fp16/awq.
-    kv_dtype = jnp.float8_e4m3fn if kind == "w8a8" else jnp.bfloat16
+    kv_dtype = jnp.int8 if kind == "w8a8" else jnp.bfloat16
     kvs = make_dense_kv(cfg.num_layers, batch, max_t, cfg.num_kv_heads,
                         cfg.head_dim, dtype=kv_dtype)
     if kind == "bf16":
@@ -223,7 +225,7 @@ def engine_run(cfg, batch, n_requests, stack="w4a4"):
         state = make_dense_kv(
             cfg.num_layers, batch, tg.max_seq_len, cfg.num_kv_heads,
             cfg.head_dim,
-            dtype=jnp.float8_e4m3fn if stack == "w8a8" else jnp.bfloat16,
+            dtype=jnp.int8 if stack == "w8a8" else jnp.bfloat16,
         )
         step_fns = make_baseline_step_fns(params, cfg, stack)
     engine = TextGenEngine(tg, pool, *step_fns, state, chunk_fn=chunk_fn)

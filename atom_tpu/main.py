@@ -83,7 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seqlen", type=int, default=0, help="0 = model default")
     p.add_argument("--eval_ppl", action="store_true")
     p.add_argument("--eval_common_sense", action="store_true")
-    p.add_argument("--zs_tasks", nargs="*",
+    p.add_argument("--zs_tasks", nargs="*",  # + "corpus_cloze" (real text)
                    default=["piqa", "arc_easy", "boolq"],
                    help="zero-shot tasks (synthetic stand-in without HF data)")
     p.add_argument("--zs_limit", type=int, default=0)
@@ -222,6 +222,7 @@ def main(argv=None):
         import functools
 
         from atom_tpu.utils.zeroshot import (
+            corpus_cloze_task,
             evaluate_multiple_choice,
             hf_task_examples,
             synthetic_task,
@@ -238,9 +239,20 @@ def main(argv=None):
                 tokenizer = None
         for task in args.zs_tasks:
             try:
-                if tokenizer is None:
+                if task == "corpus_cloze":
+                    from atom_tpu.calib import data as D
+
+                    _, ev = D.corpus_loaders(
+                        nsamples=1, seqlen=256, corpus_dir=args.corpus_dir
+                    )
+                    examples = corpus_cloze_task(
+                        np.asarray(ev),
+                        n_examples=args.zs_limit or 64,
+                    )
+                elif tokenizer is None:
                     raise RuntimeError("no tokenizer; synthetic stand-in")
-                examples = hf_task_examples(task, tokenizer, limit=args.zs_limit)
+                else:
+                    examples = hf_task_examples(task, tokenizer, limit=args.zs_limit)
             except Exception as e:
                 print(f"[warn] {task}: {e}", file=sys.stderr)
                 examples = synthetic_task(cfg.vocab_size, n_examples=8)

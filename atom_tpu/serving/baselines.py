@@ -51,6 +51,31 @@ def make_dense_kv(
     ]
 
 
+# The w8a8 stack stores 8-bit KV (punica-int8 keeps an FP8 decode-attention
+# variant).  v5e has no fp8 datapath (and fp8 converts wedge the remote
+# XLA service), so the TPU analog is int8 codes with a STATIC scale —
+# SmoothQuant-style static activation scaling applied to the cache.  Range
+# +-7.94 covers post-norm K/V magnitudes; this baseline measures memory/
+# bandwidth behavior, which is what the ratio table compares.
+KV8_INV_SCALE = 16.0
+
+
+def _kv_enc(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Encode bf16/f32 K or V rows for storage dtype ``dtype``."""
+    if dtype == jnp.int8:
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) * KV8_INV_SCALE), -127, 127
+        ).astype(jnp.int8)
+    return x.astype(dtype)
+
+
+def _kv_dec(arr: jnp.ndarray) -> jnp.ndarray:
+    """Decode a stored KV array to bf16 (fuses into the attention einsum)."""
+    if arr.dtype == jnp.int8:
+        return (arr.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / KV8_INV_SCALE))
+    return arr.astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # bf16 baseline
 # ---------------------------------------------------------------------------
@@ -123,9 +148,9 @@ def _dense_decode_attention(q, kv: DenseKV, seq_lens, cfg):
     # KV may be stored sub-bf16 (fp8 for the w8a8 stack, punica-int8's 8-bit
     # KV analog); the cast fuses into the einsum operand load.
     k = repeat_kv(
-        kv.k.astype(jnp.bfloat16).transpose(0, 2, 1, 3), cfg.kv_groups
+        _kv_dec(kv.k).transpose(0, 2, 1, 3), cfg.kv_groups
     )  # [B, Hq, T, Dh]
-    v = repeat_kv(kv.v.astype(jnp.bfloat16).transpose(0, 2, 1, 3), cfg.kv_groups)
+    v = repeat_kv(_kv_dec(kv.v).transpose(0, 2, 1, 3), cfg.kv_groups)
     scores = jnp.einsum(
         "bhd,bhtd->bht", q, k, preferred_element_type=jnp.float32
     ) * (dh ** -0.5)
@@ -154,8 +179,8 @@ def _decode_layer_common(x, lp, matmul, kv, seq_lens, cfg):
     # append at seq_lens - 1 (K stored post-RoPE)
     bidx = jnp.arange(b)
     kv = DenseKV(
-        kv.k.at[bidx, pos].set(k_new.astype(kv.k.dtype)),
-        kv.v.at[bidx, pos].set(v_new.astype(kv.v.dtype)),
+        kv.k.at[bidx, pos].set(_kv_enc(k_new, kv.k.dtype)),
+        kv.v.at[bidx, pos].set(_kv_enc(v_new, kv.v.dtype)),
     )
     attn = _dense_decode_attention(q, kv, seq_lens, cfg)
     x = x + matmul(attn.reshape(b, -1), lp.wo)
@@ -406,10 +431,10 @@ def _prefill_layer_common(x, lp, matmul, kv, slot, cfg, cos, sin, mask):
     k = apply_rope(k.astype(jnp.float32), cos[:, None, :], sin[:, None, :])
     kv = DenseKV(
         jax.lax.dynamic_update_slice(
-            kv.k, k.astype(kv.k.dtype)[None], (slot, 0, 0, 0)
+            kv.k, _kv_enc(k, kv.k.dtype)[None], (slot, 0, 0, 0)
         ),
         jax.lax.dynamic_update_slice(
-            kv.v, v.astype(kv.v.dtype)[None], (slot, 0, 0, 0)
+            kv.v, _kv_enc(v, kv.v.dtype)[None], (slot, 0, 0, 0)
         ),
     )
     kf = repeat_kv(k.transpose(1, 0, 2)[None], cfg.kv_groups)[0]  # [Hq, T, Dh]

@@ -149,6 +149,10 @@ class TextGenEngine:
         t_start = time.perf_counter()
         n_decode_steps = 0
         n_mixed_steps = 0  # steps that carried a prefill chunk AND >=1 decode
+        # host scheduling tax: time spent in admission + page/table assembly
+        # + retirement bookkeeping, EXCLUDING jitted dispatch — the number
+        # the native C++ scheduler exists to shrink (VERDICT r2 #9).
+        host_sched_s = 0.0
         while done < n_req:
             now = time.perf_counter()
             # --- admit new requests into free slots (FCFS) ---
@@ -225,6 +229,7 @@ class TextGenEngine:
                 continue
 
             # --- one step: whole-workset decode (+ one prefill chunk) ---
+            t_h = time.perf_counter()
             if self.nat is not None:
                 table, lens, _fin = self.nat.decode_step()
             else:
@@ -236,6 +241,9 @@ class TextGenEngine:
                 table, lens = batch_page_table(
                     [s.kv if s else None for s in workset], self.max_pages
                 )
+            table_dev = jnp.asarray(table)
+            lens_dev = jnp.asarray(lens)
+            host_sched_s += time.perf_counter() - t_h
             # slots that decode THIS step (a prefill completing below joins
             # the workset only for the NEXT step — it must not be retired or
             # recorded this iteration)
@@ -257,8 +265,8 @@ class TextGenEngine:
                 ids_dev, chunk_tok, state = self.chunk_fn(
                     state,
                     ids_dev,
-                    jnp.asarray(table),
-                    jnp.asarray(lens),
+                    table_dev,
+                    lens_dev,
                     jnp.asarray(cids),
                     jnp.asarray(table_row),
                     jnp.int32(pos),
@@ -293,8 +301,8 @@ class TextGenEngine:
                 ids_dev, state = self.decode_fn(
                     state,
                     ids_dev,
-                    jnp.asarray(table),
-                    jnp.asarray(lens),
+                    table_dev,
+                    lens_dev,
                 )
             if active:
                 n_decode_steps += 1
@@ -322,6 +330,7 @@ class TextGenEngine:
                         s.kv.release()  # native frees pages in decode_step
                     workset[slot] = None
                     done += 1
+            host_sched_s += time.perf_counter() - now
             if progress and done and done % 8 == 0:
                 print(f"  done {done}/{n_req}", flush=True)
 
@@ -346,6 +355,10 @@ class TextGenEngine:
             "ttft_p90_s": float(np.percentile(ttfts, 90)),
             "decode_ms_per_token_avg": float(ptls.mean() * 1e3),
             "decode_ms_per_token_p90": float(np.percentile(ptls, 90) * 1e3),
+            "scheduler": "native" if self.nat is not None else "python",
+            "host_sched_ms_per_step": (
+                host_sched_s / max(n_decode_steps, 1) * 1e3
+            ),
         }
         if record:
             out["tokens"] = tokens

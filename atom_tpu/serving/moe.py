@@ -186,6 +186,108 @@ def _moe_mlp(
     return x + acc.astype(x.dtype)
 
 
+def _moe_mlp_routed(
+    x, attn_out, lp: MoEServingLayerParams, cfg: ModelConfig,
+    spec: QuantSpec, capacity: int, gather=None, expert_slice=None, psum=None,
+):
+    """Routed (sort-by-expert gather) expert MLP for PREFILL token counts.
+
+    Dense routing runs every expert over every token — right for decode
+    batches (expert weight traffic dominates; ``_moe_mlp`` doc) but ~E/k x
+    the routed FLOPs at prefill lengths.  This path:
+
+      * computes each routed (token, expert) pair's rank within its expert
+        (cumsum over the [T, E] routing mask — no sort needed);
+      * scatter-builds a static [E, capacity] token-index table (overflow
+        past ``capacity`` and the unrouted sentinel land in a dead slot);
+      * gathers the ALREADY-QUANTIZED activation rows per expert, runs the
+        expert's packed GEMMs at static [capacity, ...] shapes, and
+        gathers-back each token's row, accumulating in the same
+        expert-major f32 order as the dense path (bitwise-equal when no
+        token overflows capacity).
+
+    ``capacity`` >= ceil(T * k / E) * slack; tokens past an expert's
+    capacity are dropped from that expert (GShard-style).  The serving
+    default leaves ~4x headroom, where drops need a ~4x-unbalanced router.
+    """
+    g = gather or (lambda v: v)
+    a_in = R.reorder_quant(g(attn_out), lp.o_reorder, spec)
+    x = x + g(quant_gemm_packed(a_in, lp.wo))
+
+    h = rmsnorm(x, lp.ln_mlp, cfg.norm_eps)
+    h_r = jnp.take(h, lp.mlp_reorder, axis=-1)
+    weights = _route_top_k(
+        jnp.dot(
+            h_r.astype(jnp.bfloat16), lp.router,
+            preferred_element_type=jnp.float32,
+        ),
+        cfg.num_experts_per_tok,
+    )  # [T, E] f32
+    a_q = quantize_activation_packed(h_r.astype(jnp.float32), spec)
+
+    t = x.shape[0]
+    n_exp = cfg.num_experts
+    routed = weights > 0.0                                    # [T, E]
+    pos = jnp.cumsum(routed.astype(jnp.int32), axis=0) - 1    # rank in expert
+    valid = routed & (pos < capacity)
+    # scatter token ids into the [E, capacity] dispatch table (+1 dead slot)
+    flat = jnp.where(
+        valid,
+        jnp.arange(n_exp)[None, :] * capacity + pos,
+        n_exp * capacity,
+    )  # [T, E]
+    tok_tbl = (
+        jnp.full((n_exp * capacity + 1,), t, jnp.int32)
+        .at[flat.reshape(-1)]
+        .set(jnp.repeat(jnp.arange(t, dtype=jnp.int32), n_exp))
+    )[:-1].reshape(n_exp, capacity)
+    # pad row t of the activation: zero codes (contributes nothing)
+    a_pad = jax.tree.map(
+        lambda v: jnp.concatenate([v, jnp.zeros_like(v[:1])], axis=0), a_q
+    )
+
+    e0, n_local = expert_slice if expert_slice is not None else (0, n_exp)
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for j in range(n_local):
+        e = e0 + j
+        rows = tok_tbl[e]                                     # [C]
+        a_e = jax.tree.map(lambda v: v[rows], a_pad)
+        wg = jax.tree.map(lambda a: a[e], lp.wgateup)
+        wd = jax.tree.map(lambda a: a[e], lp.wdown)
+        gu = quant_gemm_packed(a_e, wg, out_dtype=jnp.float32)
+        inter = gu.shape[1] // 2
+        act = jax.nn.silu(gu[:, :inter]) * gu[:, inter:]
+        d_in = quantize_activation_packed(act, spec)
+        out_e = quant_gemm_packed(d_in, wd, out_dtype=jnp.float32)  # [C, D]
+        back = jnp.where(
+            valid[:, e : e + 1],
+            jnp.take(out_e, jnp.clip(pos[:, e], 0, capacity - 1), axis=0),
+            0.0,
+        )
+        acc = acc + weights[:, e : e + 1] * back
+    if psum is not None:
+        acc = psum(acc)
+    return x + acc.astype(x.dtype)
+
+
+# Dense expert execution wins below this prefill length (every expert is hit
+# by ~all-token batches anyway and the dispatch/gather overhead is pure
+# loss); above it the routed path runs ~E/k x fewer MLP FLOPs.
+MOE_ROUTED_THRESHOLD = 512
+
+
+def _moe_capacity(t: int, cfg: ModelConfig, slack: float = 2.0) -> int:
+    """Per-expert token capacity: mean load x ``slack``, 128-aligned.
+
+    At the uniform-ish routing of a balanced Mixtral router the load's std
+    is ~sqrt(T k/E), so 2x mean is >> 4 sigma of headroom; a router
+    unbalanced beyond 2x mean drops its overflow tokens (documented
+    GShard-style semantics).
+    """
+    per_expert = t * cfg.num_experts_per_tok / cfg.num_experts
+    return min(t, int(-(-per_expert * slack // 128)) * 128)
+
+
 def decode_hidden_moe(
     params: MoEServingParams, state: ServingState, ids, page_table, seq_lens,
     cfg: ModelConfig, spec: QuantSpec, gather=None, expert_slice=None,
@@ -278,12 +380,19 @@ def prefill_hidden_moe(
     x = _embed_lookup(params.embed, ids)
     cos, sin = rope_tables(jnp.arange(t), dh, cfg.rope_theta)
 
+    routed = t >= MOE_ROUTED_THRESHOLD
+    cap = _moe_capacity(t, cfg) if routed else 0
     new_pages = []
     for l, lp in enumerate(params.layers):
         q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
         new_pages.append(append_kv_prefill_kernel(pages[l], kq, vq, table_row))
         attn = causal_code_attention(q, kq, vq, groups, dh ** -0.5)
-        x = _moe_mlp(x, attn, lp, cfg, spec, gather, expert_slice, psum)
+        if routed:
+            x = _moe_mlp_routed(
+                x, attn, lp, cfg, spec, cap, gather, expert_slice, psum
+            )
+        else:
+            x = _moe_mlp(x, attn, lp, cfg, spec, gather, expert_slice, psum)
     return rmsnorm(x, params.final_norm, cfg.norm_eps), new_pages
 
 
@@ -610,3 +719,40 @@ def make_moe_ep_step_fns(
         return decode_jit_noflush(state, ids, page_table, seq_lens)
 
     return prefill_fn, decode_fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "spec"), donate_argnames=("state",)
+)
+def decode_burst_moe(
+    params: MoEServingParams,
+    state: ServingState,
+    ids: jnp.ndarray,         # int32 [B]
+    page_table: jnp.ndarray,  # int32 [B, max_pages] — must pre-cover the burst
+    seq_lens: jnp.ndarray,    # int32 [B] — current lengths (EXCLUDING ids)
+    n_steps: jnp.ndarray,     # int32 scalar — number of W-step ring WINDOWS
+    cfg: ModelConfig,
+    spec: QuantSpec,
+):
+    """MoE analog of ``model.decode_burst``: ``n_steps`` whole ring windows
+    per program, all flush bookkeeping in-graph — the dispatch-free way to
+    measure MoE decode throughput over the tunneled link."""
+    w = state.hot[0].window
+
+    def nf_body(_, carry):
+        ids_, state_, lens_ = carry
+        new_lens = lens_ + 1
+        ids_, state_ = decode_step_moe(
+            params, state_, ids_, page_table, new_lens, cfg, spec, flush=False
+        )
+        return ids_, state_, new_lens
+
+    def window(_, carry):
+        ids_, state_, lens_ = jax.lax.fori_loop(0, w - 1, nf_body, carry)
+        new_lens = lens_ + 1
+        ids_, state_ = decode_step_moe(
+            params, state_, ids_, page_table, new_lens, cfg, spec, flush=True
+        )
+        return ids_, state_, new_lens
+
+    return jax.lax.fori_loop(0, n_steps, window, (ids, state, seq_lens))

@@ -150,3 +150,38 @@ def hf_task_examples(
     if limit:
         out = out[:limit]
     return out
+
+
+def corpus_cloze_task(
+    eval_tokens: np.ndarray,
+    n_examples: int = 64,
+    ctx_len: int = 192,
+    choice_len: int = 64,
+    n_choices: int = 4,
+    seed: int = 0,
+) -> List[Tuple[np.ndarray, List[np.ndarray], int]]:
+    """REAL-text multiple choice over the vendored corpus (hellaswag-style).
+
+    Each example: ``ctx_len`` bytes of held-out prose; the correct choice is
+    its true continuation, distractors are continuations lifted from other
+    positions.  A trained LM scores far above 1/n_choices by loglikelihood
+    ranking (the same scoring core the reference uses via lm_eval,
+    ``LMClass.py``); a random model stays at chance — so this is a REAL
+    natural-language accuracy signal, not a Zipf stand-in.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    span = ctx_len + choice_len
+    n_tok = len(eval_tokens)
+    out = []
+    for _ in range(n_examples):
+        s = int(rng.integers(0, n_tok - span - 1))
+        ctx = eval_tokens[s : s + ctx_len].astype(np.int32)
+        true = eval_tokens[s + ctx_len : s + span].astype(np.int32)
+        choices = []
+        for _ in range(n_choices - 1):
+            d = int(rng.integers(0, n_tok - choice_len - 1))
+            choices.append(eval_tokens[d : d + choice_len].astype(np.int32))
+        gold = int(rng.integers(0, n_choices))
+        choices.insert(gold, true)
+        out.append((ctx, choices, gold))
+    return out

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Long-context prefill throughput: one-pass vs scanned, 2k/4k/8k (TPU).
+
+VERDICT r2 #5: the scanned flash-style prefill path was correctness-only.
+This measures single-chip prefill tok/s at 2k/4k/8k for both attention
+paths (one-pass [H,T,T] softmax vs ``key_block``-scanned online softmax),
+on a reduced layer stack (per-layer cost is uniform; tok/s scales as
+32/layers), so the scan-vs-one-pass crossover and any gap worth a Pallas
+flash-prefill kernel (``flashinfer/prefill.cuh:79`` analog) are visible.
+
+    python scripts/measure_prefill_longctx.py --layers 4 --ctx 2048 4096 8192
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def measure(cfg, spec, t, key_block, n_iters=3):
+    """Seconds per full prefill of t tokens through cfg.num_layers layers."""
+    import atom_tpu.serving.model as SM
+    from atom_tpu.ops.kv_layout import make_kv_pages_kernel
+
+    params = SM.init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    page = 256
+    n_pages = t // page + 2
+    table_row = jnp.arange(1, n_pages + 1, dtype=jnp.int32)
+    pages = [
+        make_kv_pages_kernel(n_pages + 2, cfg.num_kv_heads, page, cfg.head_dim)
+        for _ in range(cfg.num_layers)
+    ]
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, t), jnp.int32
+    )
+
+    # monkey-select the attention path via the module thresholds
+    old_thr, old_blk = SM.PREFILL_SCAN_THRESHOLD, SM.PREFILL_KEY_BLOCK
+    SM.PREFILL_SCAN_THRESHOLD = 0 if key_block else 10**9
+    SM.PREFILL_KEY_BLOCK = key_block or old_blk
+
+    @jax.jit
+    def run(ids, pages):
+        x, new_pages = SM.prefill_hidden(
+            params, pages, ids, table_row, cfg, spec
+        )
+        return jnp.sum(x.astype(jnp.float32)), new_pages
+
+    try:
+        s, _ = run(ids, pages)
+        float(s)  # compile + barrier
+        best = float("inf")
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            s, _ = run(ids, pages)
+            float(s)
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        SM.PREFILL_SCAN_THRESHOLD, SM.PREFILL_KEY_BLOCK = old_thr, old_blk
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--ctx", type=int, nargs="*", default=[2048, 4096, 8192])
+    ap.add_argument("--key_block", type=int, default=1024)
+    args = ap.parse_args()
+
+    from atom_tpu.config import ATOM_W4A4
+    from atom_tpu.models.configs import LLAMA2_7B
+
+    cfg = LLAMA2_7B.replace(num_layers=args.layers, vocab_size=32000,
+                            max_position_embeddings=8192)
+    spec = ATOM_W4A4
+    scale = 32 / args.layers  # extrapolate to full model
+    print(f"devices: {jax.devices()}  layers={args.layers} "
+          f"(tok/s figures extrapolated to 32 layers)")
+    for t in args.ctx:
+        row = {"ctx": t}
+        for name, kb in (("one-pass", 0), ("scanned", args.key_block)):
+            if name == "one-pass" and t > 4096:
+                row[name] = None  # [H,T,T] f32 scores: 8k = 8.6 GB/layer
+                continue
+            try:
+                dt = measure(cfg, spec, t, kb)
+                row[name] = t / (dt * scale)
+            except Exception as e:  # OOM etc.
+                print(f"  ctx {t} {name}: FAILED ({type(e).__name__})")
+                row[name] = None
+        parts = [
+            f"{k}: {v:8.0f} tok/s" if v else f"{k}: {'—':>8}"
+            for k, v in row.items() if k != "ctx"
+        ]
+        print(f"ctx {t:5d}  " + "  ".join(parts), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,3 +21,38 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------------------------------
+# `-m quick`: a sub-2-minute core subset for tight iteration loops (the full
+# suite is ~25 min, dominated by interpret-mode serving/parallelism tests).
+# Modules below cover the quant math, reference parity, calibration, and the
+# GEMM/KV-layout kernel numerics; plus a couple of named fast decode tests.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_QUICK_MODULES = {
+    "test_quant_core",
+    "test_reference_parity",
+    "test_calib",
+    "test_ops_reference",
+    "test_pallas_gemm",
+}
+_QUICK_TESTS = {
+    "test_kernel_layout_roundtrip_and_reference_conversion",
+    "test_flush_crossing_page_boundary",
+}
+_QUICK_EXCLUDE = {  # slow outliers inside quick modules
+    "test_kblk_deep_k_path",
+    "test_fused_qkv_gemm_matches_unfused",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if name in _QUICK_EXCLUDE:
+            continue
+        if mod in _QUICK_MODULES or name in _QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)

@@ -134,3 +134,44 @@ def test_moe_ep_matches_single_chip():
     for l in range(CFG.num_layers):
         for a, b_ in zip(state.pages[l], sstate.pages[l]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_moe_routed_prefill_matches_dense():
+    """Routed (sort-by-expert gather) expert MLP == dense routing, bitwise,
+    when capacity covers every expert's load (same expert-major f32
+    accumulation order)."""
+    from atom_tpu.serving.moe import _moe_mlp, _moe_mlp_routed
+
+    key = jax.random.PRNGKey(3)
+    t = 96
+    params = init_moe_serving_params(key, CFG, SPEC)
+    lp = params.layers[0]
+    x = jax.random.normal(key, (t, CFG.hidden_size), jnp.bfloat16)
+    attn = jax.random.normal(
+        jax.random.PRNGKey(4),
+        (t, CFG.num_heads * CFG.head_dim), jnp.float32,
+    ) * 0.3
+
+    dense = _moe_mlp(x, attn, lp, CFG, SPEC)
+    routed = _moe_mlp_routed(x, attn, lp, CFG, SPEC, capacity=t)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(routed))
+
+
+def test_moe_routed_capacity_drop_semantics():
+    """With capacity below an expert's load, overflow tokens drop ONLY that
+    expert's contribution (rows past capacity), everything else intact."""
+    from atom_tpu.serving.moe import _moe_mlp_routed
+
+    key = jax.random.PRNGKey(5)
+    t = 64
+    params = init_moe_serving_params(key, CFG, SPEC)
+    lp = params.layers[0]
+    x = jax.random.normal(key, (t, CFG.hidden_size), jnp.bfloat16)
+    attn = jnp.zeros((t, CFG.num_heads * CFG.head_dim), jnp.float32)
+
+    full = _moe_mlp_routed(x, attn, lp, CFG, SPEC, capacity=t)
+    tight = _moe_mlp_routed(x, attn, lp, CFG, SPEC, capacity=16)
+    # mean expert load = t*k/E = 32 > 16: some tokens must differ (dropped),
+    # but outputs stay finite and the residual stream is preserved.
+    assert np.isfinite(np.asarray(tight, np.float32)).all()
+    assert not np.array_equal(np.asarray(full), np.asarray(tight))
