@@ -645,14 +645,14 @@ def _kv_quantize_tile(x, head_dim):
 
 
 def _gemm_qkv_ring_kernel(
-    row_ref,           # int32 [1] scalar prefetch (unused in body; drives maps)
+    row_ref,           # int32 [1] scalar prefetch (drives the W index maps)
     cos_ref, sin_ref,  # f32 [tm, head_dim]
     a_ref, wp_ref, wk_ref, sa_ref, sw_ref,
     kc_in, kp_in, vc_in, vp_in,   # aliased ring blocks (prime source)
     q_ref,    # bf16 [tm, tn] — RoPE'd q (q region)
-    kc_ref,   # int8 [tm, hpt, 1, D] — ring row block (k region)
+    kc_ref,   # int8 [tm, hpt, 8, D] — ring rows [row8, row8+8) (k region)
     kp_ref,   # f32  [tm, 1, 2, H]
-    vc_ref,   # int8 [tm, hpt, 1, D]
+    vc_ref,   # int8 [tm, hpt, 8, D]
     vp_ref,   # f32  [tm, 1, 2, H]
     *,
     ng: int,
@@ -661,12 +661,14 @@ def _gemm_qkv_ring_kernel(
     n_k_tiles: int,
 ):
     j = pl.program_id(1)
+    # Mosaic needs >=8 sublanes per block, so the ring's W axis is blocked
+    # in groups of 8 rows; the target row is row_sub = row % 8 within the
+    # block, the other 7 rows pass through from the aliased input.
+    row_sub = row_ref[0] % 8
 
     @pl.when(j == 0)
     def _prime():
-        kc_ref[:] = kc_in[:]
         kp_ref[:] = kp_in[:]
-        vc_ref[:] = vc_in[:]
         vp_ref[:] = vp_in[:]
 
     acc = jnp.zeros(q_ref.shape, jnp.float32)
@@ -700,14 +702,21 @@ def _gemm_qkv_ring_kernel(
             parts.append(blk * cos + rot * sin)
         return jnp.concatenate(parts, axis=1)
 
-    def store_ring(x, c_ref, p_ref, tile0):
+    def store_ring(x, c_ref, c_in, p_ref, tile0):
         codes, scales, zeros = _kv_quantize_tile(x, head_dim)
         n_h = p_ref.shape[3]
         lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n_h), 1)
         s_row = p_ref[:, 0, 0, :]
         z_row = p_ref[:, 0, 1, :]
+        sub = jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[0], 8, head_dim), 1
+        )
         for h in range(heads):
-            c_ref[:, h, 0, :] = codes[h]
+            # write ring row row_sub of this 8-row block; rows pass through
+            # from the aliased input otherwise
+            c_ref[:, h] = jnp.where(
+                sub == row_sub, codes[h][:, None, :], c_in[:, h]
+            ).astype(jnp.int8)
             gh = (j - tile0) * heads + h
             s_row = jnp.where(lane == gh, scales[h], s_row)
             z_row = jnp.where(lane == gh, zeros[h], z_row)
@@ -720,11 +729,11 @@ def _gemm_qkv_ring_kernel(
 
     @pl.when((j >= n_q_tiles) & (j < n_q_tiles + n_k_tiles))
     def _k():
-        store_ring(roped(), kc_ref, kp_ref, n_q_tiles)
+        store_ring(roped(), kc_ref, kc_in, kp_ref, n_q_tiles)
 
     @pl.when(j >= n_q_tiles + n_k_tiles)
     def _v():
-        store_ring(acc, vc_ref, vp_ref, n_q_tiles + n_k_tiles)
+        store_ring(acc, vc_ref, vc_in, vp_ref, n_q_tiles + n_k_tiles)
 
 
 @functools.partial(
@@ -772,6 +781,7 @@ def packed_w4_gemm_qkv_ring(
     hpt = tn // head_dim
     n_h = k_prm.shape[3]
     w_ring = k_codes.shape[2]
+    assert w_ring % 8 == 0, "ring window must be 8-row blockable"
     tm = min(256, m)
 
     kernel = functools.partial(
@@ -784,19 +794,21 @@ def packed_w4_gemm_qkv_ring(
     n_tiles = n // tn
 
     def kc_map(i, j, row_ref):
-        return (i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), row_ref[0], 0)
+        return (
+            i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), row_ref[0] // 8, 0
+        )
 
     def vc_map(i, j, row_ref):
         return (
             i, jnp.clip(j - n_q_tiles - n_k_tiles, 0, n_k_tiles - 1),
-            row_ref[0], 0,
+            row_ref[0] // 8, 0,
         )
 
     def prm_map(i, j, row_ref):
         return (i, row_ref[0], 0, 0)
 
-    kc_spec = pl.BlockSpec((tm, hpt, 1, head_dim), kc_map)
-    vc_spec = pl.BlockSpec((tm, hpt, 1, head_dim), vc_map)
+    kc_spec = pl.BlockSpec((tm, hpt, 8, head_dim), kc_map)
+    vc_spec = pl.BlockSpec((tm, hpt, 8, head_dim), vc_map)
     kp_spec = pl.BlockSpec((tm, 1, 2, n_h), prm_map)
     vp_spec = pl.BlockSpec((tm, 1, 2, n_h), prm_map)
 

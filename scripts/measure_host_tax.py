@@ -51,7 +51,43 @@ def run(native, batch=32, n_requests=40):
     return res
 
 
+def micro(batch=32, max_seq_len=2048, page_size=256, iters=2000):
+    """Isolated per-step assembly cost (no engine, no device upload):
+    python KvPool acquire+batch_page_table vs native decode_step."""
+    import time
+
+    from atom_tpu.native import NativeScheduler
+    from atom_tpu.serving.kvpool import KvPool, SeqKvCache, batch_page_table
+
+    max_pages = -(-(300 + iters) // page_size) + 1
+    n_pool = batch * max_pages + 16
+
+    pool = KvPool(1, n_pool, 1, page_size, 128)
+    seqs = [SeqKvCache(pool, 300) for _ in range(batch)]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for s in seqs:
+            s.acquire_one()
+        table, lens = batch_page_table(seqs, max_pages)
+    py_ms = (time.perf_counter() - t0) / iters * 1e3
+    for s in seqs:
+        s.release()
+
+    nat = NativeScheduler(batch, n_pool, page_size, max_pages)
+    for i in range(batch):
+        slot = nat.admit(i, 300, iters + 10)
+        assert slot == i
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        table, lens, fin = nat.decode_step()
+    nat_ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"micro (bs{batch}, assembly only): python {py_ms:.3f} ms/step, "
+          f"native {nat_ms:.3f} ms/step -> {py_ms/max(nat_ms,1e-9):.1f}x less host time")
+    return py_ms, nat_ms
+
+
 def main():
+    micro()
     rows = {}
     for mode, native in (("python", False), ("native", "auto")):
         res = run(native)
@@ -61,7 +97,7 @@ def main():
               f"over {res['decode_steps']} steps")
     py = rows["python"]["host_sched_ms_per_step"]
     nat = rows["native"]["host_sched_ms_per_step"]
-    print(f"native/python host tax: {nat/py:.2f}x "
+    print(f"engine (incl. device upload of table/lens): {nat/py:.2f}x "
           f"({py:.3f} -> {nat:.3f} ms/step, {py-nat:+.3f} ms/step saved)")
 
 
