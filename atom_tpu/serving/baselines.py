@@ -359,6 +359,28 @@ def init_w4a16_params(key, cfg: ModelConfig) -> W4A16Params:
 
     # Layer-by-layer for the same HBM reason as init_w8_params.
     d = cfg.hidden_size
+    # Pre-pad the MLP weights to the w4a16_gemm tile grid (intermediate dim
+    # -> mult of 1024 = KBLK*GROUP, which is also a mult of tile_n=512) so the
+    # gemm never pads weights INSIDE the jitted decode loop — each in-loop
+    # jnp.pad of an 11008-wide weight is a ~22 MB XLA temp, and at 32 layers
+    # the burst OOMs.  Zero pad rows/cols quantize to zero codes (exact-zero
+    # contribution), and the padded width flows consistently gate/up -> down.
+    ip = -(-cfg.intermediate_size // 1024) * 1024
+    pad_i = ip - cfg.intermediate_size
+    # At 7B geometry the remaining dims (hidden 4096, kv width 4096) already
+    # sit on the tile grid, so nothing else pads in-loop; tiny test configs
+    # fall back to the gemm's internal pad, whose temps are tiny there.
+    if d % 1024 or (cfg.num_kv_heads * cfg.head_dim) % 512:
+        pad_i = 0
+
+    def _q(name, w):
+        w = w.astype(jnp.float32)
+        if pad_i and name in ("gate", "up"):
+            w = jnp.pad(w, ((0, 0), (0, pad_i)))
+        elif pad_i and name == "down":
+            w = jnp.pad(w, ((0, pad_i), (0, 0)))
+        return quantize_w4a16(w)
+
     keys = jax.random.split(key, 2 + 7 * cfg.num_layers)
     layers = []
     for l in range(cfg.num_layers):
@@ -367,7 +389,7 @@ def init_w4a16_params(key, cfg: ModelConfig) -> W4A16Params:
             ln_attn=lp.ln_attn,
             ln_mlp=lp.ln_mlp,
             **{
-                f"w{n}": quantize_w4a16(getattr(lp, f"w{n}").astype(jnp.float32))
+                f"w{n}": _q(n, getattr(lp, f"w{n}"))
                 for n in ("q", "k", "v", "o", "gate", "up", "down")
             },
         ))

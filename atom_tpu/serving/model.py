@@ -173,14 +173,25 @@ def quantize_lm_head(params: "ServingParams", bits: int = 8) -> "ServingParams":
     from atom_tpu.ops.pallas_gemm_w4a16 import quantize_w4a16, quantize_w8a16
 
     quant = quantize_w8a16 if bits == 8 else quantize_w4a16
-    return params._replace(lm_head=quant(params.lm_head.astype(jnp.float32)))
+    w = params.lm_head.astype(jnp.float32)
+    # Pre-pad to the weight-only gemm tile grid (N -> mult of 512, K -> mult
+    # of 1024).  Otherwise the gemm pads the weight INSIDE the jitted decode
+    # step — a [4096, 32256] int8 pad is a ~132 MB XLA temp per step.
+    # Padded cols quantize to zero codes; _lm_head_logits slices logits back
+    # to the true vocab.
+    pk = (-w.shape[0]) % 1024
+    pn = (-w.shape[1]) % 512
+    if pk or pn:
+        w = jnp.pad(w, ((0, pk), (0, pn)))
+    return params._replace(lm_head=quant(w))
 
 
-def _lm_head_logits(x: jnp.ndarray, lm_head) -> jnp.ndarray:
+def _lm_head_logits(x: jnp.ndarray, lm_head, vocab: int | None = None) -> jnp.ndarray:
     """bf16 MXU head matmul (f32 accumulation inside the MXU).  Both prefill
     and decode use this, so near-tie argmax decisions are identical.
     A ``W8A16Weight`` / ``W4A16Weight`` head (see ``quantize_lm_head``) runs
-    the corresponding weight-only kernel instead."""
+    the corresponding weight-only kernel instead; ``vocab`` slices off the
+    tile-grid pad columns a quantized head carries."""
     from atom_tpu.ops.pallas_gemm_w4a16 import (
         W4A16Weight,
         W8A16Weight,
@@ -189,14 +200,16 @@ def _lm_head_logits(x: jnp.ndarray, lm_head) -> jnp.ndarray:
     )
 
     if isinstance(lm_head, W8A16Weight):
-        return w8a16_gemm(x.astype(jnp.bfloat16), lm_head, out_dtype=jnp.float32)
-    if isinstance(lm_head, W4A16Weight):
-        return w4a16_gemm(
-            x.astype(jnp.bfloat16), lm_head, out_dtype=jnp.float32
+        out = w8a16_gemm(x.astype(jnp.bfloat16), lm_head, out_dtype=jnp.float32)
+    elif isinstance(lm_head, W4A16Weight):
+        out = w4a16_gemm(x.astype(jnp.bfloat16), lm_head, out_dtype=jnp.float32)
+    else:
+        out = jnp.dot(
+            x.astype(jnp.bfloat16), lm_head, preferred_element_type=jnp.float32
         )
-    return jnp.dot(
-        x.astype(jnp.bfloat16), lm_head, preferred_element_type=jnp.float32
-    )
+    if vocab is not None and out.shape[-1] != vocab:
+        out = out[..., :vocab]
+    return out
 
 
 def _attn_block_common(
@@ -466,7 +479,7 @@ def decode_step(
     x, new_state = decode_hidden(
         params, state, ids, page_table, seq_lens, cfg, spec, flush=flush
     )
-    logits = _lm_head_logits(x, params.lm_head)
+    logits = _lm_head_logits(x, params.lm_head, cfg.vocab_size)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_state
 
 
@@ -630,7 +643,7 @@ def prefill_step(
     """
     x, new_pages = prefill_hidden(params, state.pages, ids, table_row, cfg, spec)
     last = x[jnp.maximum(true_len - 1, 0)]
-    logits = _lm_head_logits(last[None], params.lm_head)[0]
+    logits = _lm_head_logits(last[None], params.lm_head, cfg.vocab_size)[0]
     new_state = ServingState(
         pages=new_pages,
         hot=state.hot,
@@ -883,7 +896,7 @@ def mixed_step(
     head_rows = jnp.concatenate(
         [hidden[:b], hidden[last_chunk_row][None]]
     )
-    logits = _lm_head_logits(head_rows, params.lm_head)
+    logits = _lm_head_logits(head_rows, params.lm_head, cfg.vocab_size)
     next_ids = jnp.argmax(logits[:b], axis=-1).astype(jnp.int32)
     chunk_tok = jnp.argmax(logits[b]).astype(jnp.int32)
 

@@ -366,7 +366,7 @@ def decode_step_moe(
     x, new_state = decode_hidden_moe(
         params, state, ids, page_table, seq_lens, cfg, spec, flush=flush
     )
-    logits = _lm_head_logits(x, params.lm_head)
+    logits = _lm_head_logits(x, params.lm_head, cfg.vocab_size)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_state
 
 
@@ -407,7 +407,7 @@ def prefill_step_moe(
         params, state.pages, ids, table_row, cfg, spec
     )
     last = x[jnp.maximum(true_len - 1, 0)]
-    logits = _lm_head_logits(last[None], params.lm_head)[0]
+    logits = _lm_head_logits(last[None], params.lm_head, cfg.vocab_size)[0]
     new_state = ServingState(
         pages=new_pages, hot=state.hot, row=state.row,
         flushed=state.flushed.at[slot].set(true_len),

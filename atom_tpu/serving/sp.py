@@ -115,7 +115,7 @@ def make_sp_prefill_fn(
         has = (idx >= my * t_loc) & (idx < (my + 1) * t_loc)
         last = jnp.where(has, x[local_idx], jnp.zeros_like(x[0]))
         last = jax.lax.psum(last, axis)
-        logits = _lm_head_logits(last[None], p.lm_head)[0]
+        logits = _lm_head_logits(last[None], p.lm_head, cfg.vocab_size)[0]
         tok = jnp.argmax(logits).astype(jnp.int32)
         return tok, new_pages, flushed.at[slot].set(true_len)
 

@@ -39,7 +39,11 @@ def bench_op(
             a2 = list(a)
             a2[perturb_arg] = _perturb(a2[perturb_arg], c)
             out = op(*a2)
-            return jnp.sum(out).astype(jnp.float32) * 1e-30
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = jnp.float32(0.0)
+            for leaf in leaves:
+                acc = acc + jnp.sum(leaf).astype(jnp.float32)
+            return acc * 1e-30
 
         return jax.lax.fori_loop(0, n, body, carry)
 

@@ -285,7 +285,7 @@ def test_quantized_lm_head_option():
     qparams = quantize_lm_head(params)
     x = jax.random.normal(jax.random.PRNGKey(3), (4, TINY.hidden_size), jnp.bfloat16)
     ref = np.asarray(_lm_head_logits(x, params.lm_head))
-    got = np.asarray(_lm_head_logits(x, qparams.lm_head))
+    got = np.asarray(_lm_head_logits(x, qparams.lm_head, TINY.vocab_size))
     # random-weight logits are near-zero sums; at this tiny K (2 quant
     # groups) the INT4 error is relatively large — check direction + spread
     err = np.abs(got - ref).mean() / (ref.std() + 1e-9)
