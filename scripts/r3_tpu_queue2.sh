@@ -41,4 +41,7 @@ stage bf16b 2400 python -m atom_tpu.benchmarks.bench_textgen \
 # 5. ring-fold timing (bench_op pytree fix)
 stage ringfold2 1800 python scripts/ab_ring_fold.py
 
+# 6. decode-kernel micro-variants (u8 unpack / fused dot)
+stage dkv3 2400 python scripts/ab_decode_v3.py
+
 echo "=== r3 phase-2 queue complete ($(date +%H:%M:%S)) ==="
