@@ -182,6 +182,333 @@ def _decode_kernel(
         lo_ref[0] = l_ref[:]
 
 
+def _decode_ring_kernel(
+    # scalar prefetch
+    pt_ref,   # int32 [B, max_pages]
+    sl_ref,   # int32 [B] — FLUSHED length per sequence
+    nh_ref,   # int32 [B] — ring-resident suffix length per sequence
+    row_ref,  # int32 [1] — ring column of the CURRENT token
+    # inputs
+    q_ref,     # [1, Hb*G, D] bf16 — RoPE'd queries
+    kp_ref,    # int8 [1, Hb, D/2, S]
+    prm_ref,   # bf16 [1, 4, Hb, S]
+    vp_ref,    # int8 [1, Hb, S/2, D]
+    hk_ref,    # int8 [1, Hb, D/2, W] — hot ring K (channel-packed)
+    hprm_ref,  # bf16 [1, 4, Hb, W]
+    hv_ref,    # int8 [1, Hb, W, D] — hot ring V (unpacked)
+    # outputs
+    o_ref,     # [1, Hb*G, D]
+    # scratch
+    acc_ref, m_ref, l_ref, sc_ref, pv_ref,
+    *,
+    head_block: int,
+    groups: int,
+    page_size: int,
+    sm_scale: float,
+):
+    """Paged decode attention + the hot-ring suffix in ONE kernel.
+
+    Pages run exactly like ``_decode_kernel``; the LAST grid step processes
+    the ring as a W-lane pseudo-page.  Because ring K is channel-packed per
+    head ([Hb, D/2, W]) the score dot is expressed as ONE standard-
+    orientation block-diagonal MXU dot: q is expanded to [R, Hb*D/2] with
+    each row's 64 channels placed in its own head's lane block (zeros
+    elsewhere — exact zeros contribute nothing), K flattens to
+    [Hb*D/2, W]; same trick for p.V with V flattened to [Hb*W, D].  This
+    replaces the per-layer XLA einsum ring attention + softmax merge.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    n_blocks = pl.num_programs(2)
+    seq_len = sl_ref[b]
+    s = page_size
+    g = groups
+    hb = head_block
+    r_all = hb * g
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when((i < n_blocks - 1) & (i * s < seq_len))
+    def _page():
+        _decode_page_step(
+            q_ref, kp_ref, prm_ref, vp_ref, acc_ref, m_ref, l_ref, sc_ref,
+            pv_ref, i * s, seq_len, head_block, groups, page_size, sm_scale,
+        )
+
+    @pl.when(i == n_blocks - 1)
+    def _ring():
+        w = hk_ref.shape[3]
+        d = hv_ref.shape[3]
+        half = d // 2
+        row = row_ref[0]
+        n_hot = nh_ref[b]
+        q_all = q_ref[0]  # [R, D] bf16
+
+        # --- scores: one block-diagonal MXU dot per nibble plane ---
+        ku = hk_ref[0].astype(jnp.uint8)          # [Hb, D/2, W]
+        k_lo = (ku & 0x0F).astype(jnp.bfloat16).reshape(hb * half, w)
+        k_hi = (ku >> 4).astype(jnp.bfloat16).reshape(hb * half, w)
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (r_all, hb * half), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (r_all, hb * half), 1)
+        blk_mask = (lane // half) == (sub // g)  # row r <- its own head only
+        q_lo = jnp.where(
+            blk_mask, jnp.concatenate([q_all[:, :half]] * hb, axis=1), 0
+        ).astype(jnp.bfloat16)
+        q_hi = jnp.where(
+            blk_mask, jnp.concatenate([q_all[:, half:]] * hb, axis=1), 0
+        ).astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            q_lo, k_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            q_hi, k_hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, W]
+
+        prm = hprm_ref[0]  # [4, Hb, W] bf16
+
+        def rep(x):  # [Hb, W] -> [R, W] f32
+            x = x.astype(jnp.float32)
+            if g == 1:
+                return x
+            return jnp.broadcast_to(
+                x[:, None, :], (hb, g, w)
+            ).reshape(r_all, w)
+
+        q_sum = jnp.sum(q_all.astype(jnp.float32), axis=1, keepdims=True)
+        scores = (dots * rep(prm[0]) + q_sum * rep(prm[1])) * sm_scale
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        age = jax.lax.rem(row - cols + w, w)
+        valid = age < n_hot  # [1, W]
+        scores = jnp.where(valid, scores, _NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # [R, W]
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        # --- p.V: block-diagonal f32 dot against [Hb*W, D] ---
+        pw = p * rep(prm[2])
+        sub2 = jax.lax.broadcasted_iota(jnp.int32, (r_all, hb * w), 0)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (r_all, hb * w), 1)
+        p_sel = jnp.where(
+            (lane2 // w) == (sub2 // g),
+            jnp.concatenate([pw] * hb, axis=1), 0.0
+        )
+        v_flat = hv_ref[0].astype(jnp.float32).reshape(hb * w, d)
+        pv = jax.lax.dot_general(
+            p_sel, v_flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, D]
+        z_corr = jnp.sum(p * rep(prm[3]), axis=1, keepdims=True)
+
+        acc = acc_ref[:] * alpha + pv + z_corr
+        l_fin = jnp.maximum(l_new, 1e-20)
+        o_ref[0] = (acc / l_fin).astype(o_ref.dtype)
+
+
+def _decode_page_step(
+    q_ref, kp_ref, prm_ref, vp_ref, acc_ref, m_ref, l_ref, sc_ref, pv_ref,
+    pos0, seq_len, head_block, groups, page_size, sm_scale,
+):
+    """One page's worth of the online-softmax chain (shared by the plain and
+    ring-merged kernels; body identical to ``_decode_kernel``'s page step)."""
+    s = page_size
+    g = groups
+    r_all = head_block * g
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    valid = (pos0 + lane) < seq_len  # [1, S]
+    q_all = q_ref[0]  # [Hb*G, D] bf16
+    dh = q_all.shape[1] // 2
+
+    for hh in range(head_block):
+        kb = kp_ref[0, hh]  # int8 [D/2, S]
+        k_lo = (kb & 0x0F).astype(jnp.bfloat16)
+        k_hi = ((kb.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.bfloat16)
+        q_h = q_all[hh * g : (hh + 1) * g, :]
+        sc_ref[hh * g : (hh + 1) * g, :] = jax.lax.dot_general(
+            q_h[:, :dh], k_lo,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            q_h[:, dh:], k_hi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    prm = prm_ref[0]  # [4, Hb, S] bf16
+
+    def rep(x):  # [Hb, S] -> [Hb*G, S] (f32)
+        x = x.astype(jnp.float32)
+        if g == 1:
+            return x
+        return jnp.broadcast_to(
+            x[:, None, :], (head_block, g, s)
+        ).reshape(r_all, s)
+
+    k_scale = rep(prm[0])
+    k_zero = rep(prm[1])
+    q_sum = jnp.sum(q_all.astype(jnp.float32), axis=1, keepdims=True)
+    scores = (sc_ref[:] * k_scale + q_sum * k_zero) * sm_scale
+    scores = jnp.where(valid, scores, _NEG_INF)
+
+    m_prev = m_ref[:, 0:1]
+    l_prev = l_ref[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # [Hb*G, S]
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    v_scale = rep(prm[2])
+    v_zero = rep(prm[3])
+    pw = p * v_scale
+    half = s // 2
+    for hh in range(head_block):
+        vb = vp_ref[0, hh]  # int8 [S/2, D]
+        v_lo = (vb & 0x0F).astype(jnp.float32)
+        v_hi = ((vb.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.float32)
+        pw_h = pw[hh * g : (hh + 1) * g, :]
+        pv_ref[hh * g : (hh + 1) * g, :] = jax.lax.dot_general(
+            pw_h[:, :half], v_lo,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            pw_h[:, half:], v_hi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    z_corr = jnp.sum(p * v_zero, axis=1, keepdims=True)
+
+    acc_ref[:] = acc_ref[:] * alpha + pv_ref[:] + z_corr
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("head_block", "out_dtype", "interpret"),
+)
+def paged_ring_decode_attention(
+    q: jnp.ndarray,  # [B, HQ, D] — RoPE already applied; kv-head-major
+    pages: KVPages,  # K pages hold POST-RoPE codes
+    page_table: jnp.ndarray,  # int32 [B, max_pages]
+    seq_lens: jnp.ndarray,  # int32 [B] — FLUSHED tokens per sequence
+    hot,                     # kv_hot.HotKV — page-layout decode ring
+    n_hot: jnp.ndarray,      # int32 [B] — ring-resident suffix lengths
+    row: jnp.ndarray,        # int32 scalar — ring column of CURRENT token
+    head_block: int = 32,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused paged + hot-ring decode attention (normalized output).
+
+    One kernel covers each sequence's whole KV state: the flushed pages and
+    the ring suffix — the per-layer XLA ring attention and softmax merge of
+    the two-kernel scheme disappear.  See ``_decode_ring_kernel``.
+    """
+    from atom_tpu.ops.runtime import interpret_default
+
+    interpret = interpret_default(interpret)
+    b, hq, d = q.shape
+    h = pages.kv_heads
+    s = pages.page_size
+    groups = hq // h
+    w = hot.k_codes.shape[3]
+    assert hq % h == 0 and d == pages.head_dim
+    hb = min(head_block, h)
+    while hb < h and (
+        h % hb != 0 or (hb * groups) % 8 != 0 or hb % 8 != 0
+    ):
+        hb += 1
+    assert h % hb == 0
+    assert (hb * groups) % 8 == 0 or hb == h
+    assert hb % 8 == 0 or hb == h
+    max_pages = page_table.shape[1]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    seq_lens = seq_lens.astype(jnp.int32)
+    page_table = page_table.astype(jnp.int32)
+
+    def page_of(i_b, i_h, i_p, pt, sl, nh, rw):
+        last = jnp.maximum(pl.cdiv(sl[i_b], s) - 1, 0)
+        return pt[i_b, jnp.minimum(i_p, last)]
+
+    grid = (b, h // hb, max_pages + 1)
+    kernel = functools.partial(
+        _decode_ring_kernel,
+        head_block=hb,
+        groups=groups,
+        page_size=s,
+        sm_scale=sm_scale,
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, hb * groups, d), lambda ib, ih, ip, *_: (ib, ih, 0)
+                ),
+                pl.BlockSpec(
+                    (1, hb, d // 2, s),
+                    lambda ib, ih, ip, *r: (page_of(ib, ih, ip, *r), ih, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 4, hb, s),
+                    lambda ib, ih, ip, *r: (page_of(ib, ih, ip, *r), 0, ih, 0),
+                ),
+                pl.BlockSpec(
+                    (1, hb, s // 2, d),
+                    lambda ib, ih, ip, *r: (page_of(ib, ih, ip, *r), ih, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, hb, d // 2, w), lambda ib, ih, ip, *_: (ib, ih, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 4, hb, w), lambda ib, ih, ip, *_: (ib, 0, ih, 0)
+                ),
+                pl.BlockSpec(
+                    (1, hb, w, d), lambda ib, ih, ip, *_: (ib, ih, 0, 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, hb * groups, d), lambda ib, ih, ip, *_: (ib, ih, 0)
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hb * groups, d), jnp.float32),
+                pltpu.VMEM((hb * groups, 128), jnp.float32),
+                pltpu.VMEM((hb * groups, 128), jnp.float32),
+                pltpu.VMEM((hb * groups, s), jnp.float32),
+                pltpu.VMEM((hb * groups, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), out_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        page_table, seq_lens, n_hot.astype(jnp.int32),
+        jnp.asarray(row, jnp.int32).reshape(1),
+        q, pages.k_pages, pages.params, pages.v_pages,
+        hot.k_codes, hot.prm, hot.v_codes,
+    )
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("head_block", "out_dtype", "return_state", "interpret"),

@@ -608,16 +608,22 @@ def packed_w4_gemm_qkv(
 # dispatched XLA ops per layer (~5-6 us each on v5e).  This variant stores
 # the quantized K/V *into the ring buffers from inside the GEMM kernel*:
 # the ring arrays are aliased in/out (same trick as
-# ``pallas_decode.flush_hot_pallas``) and the scalar-prefetched ring row
-# drives the output index maps, so only ring row ``row`` is touched — the
-# TPU analog of the reference writing its o4 epilogue straight to the KV
-# cache feed (``DenseLayerGEMM_i4_o4.cu:728-775``).
+# ``pallas_decode.flush_hot_pallas``); the TPU analog of the reference
+# writing its o4 epilogue straight to the KV cache feed
+# (``DenseLayerGEMM_i4_o4.cu:728-775``).
+#
+# Ring layout (round 3, see ``kv_hot``): K channel-packed [B, H, D/2, W]
+# with the ring axis on LANES (write = masked select at lane ``row`` of a
+# resident block), params merged bf16 [B, 4, H, W] (one block, constant
+# index map, accumulated across the K/V j-tiles, written back once at grid
+# end), V unpacked [B, H, W, D] with the ring axis blocked in groups of 8
+# SUBLANES (write at sublane row % 8 of block row // 8).
 #
 # Out-block lifecycle (n-axis grid is "arbitrary", blocks write back when
-# their index map changes): the prm blocks and the first k/v code blocks are
+# their index map changes): the prm block and the first k/v code blocks are
 # PRIMED from the aliased ring at j == 0, every k/v code block is fully
-# rewritten at its own j, and prm head lanes accumulate over the k/v j's —
-# so each block's final write-back holds new codes for this row and old data
+# rewritten at its own j, and prm planes accumulate over the k/v j's — so
+# each block's final write-back holds new codes for this row and old data
 # nowhere it shouldn't.
 
 
@@ -645,15 +651,14 @@ def _kv_quantize_tile(x, head_dim):
 
 
 def _gemm_qkv_ring_kernel(
-    row_ref,           # int32 [1] scalar prefetch (drives the W index maps)
+    row_ref,           # int32 [1] scalar prefetch (drives the V index maps)
     cos_ref, sin_ref,  # f32 [tm, head_dim]
     a_ref, wp_ref, wk_ref, sa_ref, sw_ref,
-    kc_in, kp_in, vc_in, vp_in,   # aliased ring blocks (prime source)
+    kc_in, prm_in, vc_in,   # aliased ring blocks (prime source)
     q_ref,    # bf16 [tm, tn] — RoPE'd q (q region)
-    kc_ref,   # int8 [tm, hpt, 8, D] — ring rows [row8, row8+8) (k region)
-    kp_ref,   # f32  [tm, 1, 2, H]
-    vc_ref,   # int8 [tm, hpt, 8, D]
-    vp_ref,   # f32  [tm, 1, 2, H]
+    kc_ref,   # int8 [tm, hpt, D/2, W] — channel-packed ring (k region)
+    prm_ref,  # bf16 [tm, 4, H, W] — merged affine planes (constant map)
+    vc_ref,   # int8 [tm, hpt, 8, D] — ring rows [row8, row8+8) (v region)
     *,
     ng: int,
     head_dim: int,
@@ -661,15 +666,14 @@ def _gemm_qkv_ring_kernel(
     n_k_tiles: int,
 ):
     j = pl.program_id(1)
-    # Mosaic needs >=8 sublanes per block, so the ring's W axis is blocked
-    # in groups of 8 rows; the target row is row_sub = row % 8 within the
-    # block, the other 7 rows pass through from the aliased input.
-    row_sub = row_ref[0] % 8
+    row = row_ref[0]
+    # V blocks Mosaic-block the ring axis in groups of 8 SUBLANES; the K and
+    # prm blocks keep the ring axis on LANES (full W) and mask at lane row.
+    row_sub = row % 8
 
     @pl.when(j == 0)
     def _prime():
-        kp_ref[:] = kp_in[:]
-        vp_ref[:] = vp_in[:]
+        prm_ref[:] = prm_in[:]
 
     acc = jnp.zeros(q_ref.shape, jnp.float32)
     for g in range(ng):
@@ -702,26 +706,24 @@ def _gemm_qkv_ring_kernel(
             parts.append(blk * cos + rot * sin)
         return jnp.concatenate(parts, axis=1)
 
-    def store_ring(x, c_ref, c_in, p_ref, tile0):
-        codes, scales, zeros = _kv_quantize_tile(x, head_dim)
-        n_h = p_ref.shape[3]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], n_h), 1)
-        s_row = p_ref[:, 0, 0, :]
-        z_row = p_ref[:, 0, 1, :]
-        sub = jax.lax.broadcasted_iota(
-            jnp.int32, (x.shape[0], 8, head_dim), 1
-        )
+    w_ring = kc_ref.shape[3]
+    n_h = prm_ref.shape[2]
+    half = head_dim // 2
+
+    def store_prm(scales, zeros, tile0, plane0):
+        """Write (scale, zero) of this tile's heads into planes
+        (plane0, plane0+1) at lane ``row`` of the resident prm block."""
+        hsub = jax.lax.broadcasted_iota(jnp.int32, (1, n_h, w_ring), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_h, w_ring), 2)
+        s_pl = prm_ref[:, plane0]      # [tm, H, W]
+        z_pl = prm_ref[:, plane0 + 1]
         for h in range(heads):
-            # write ring row row_sub of this 8-row block; rows pass through
-            # from the aliased input otherwise
-            c_ref[:, h] = jnp.where(
-                sub == row_sub, codes[h][:, None, :], c_in[:, h]
-            ).astype(jnp.int8)
             gh = (j - tile0) * heads + h
-            s_row = jnp.where(lane == gh, scales[h], s_row)
-            z_row = jnp.where(lane == gh, zeros[h], z_row)
-        p_ref[:, 0, 0, :] = s_row
-        p_ref[:, 0, 1, :] = z_row
+            mask = (hsub == gh) & (lane == row)
+            s_pl = jnp.where(mask, scales[h][:, :, None], s_pl)
+            z_pl = jnp.where(mask, zeros[h][:, :, None], z_pl)
+        prm_ref[:, plane0] = s_pl.astype(prm_ref.dtype)
+        prm_ref[:, plane0 + 1] = z_pl.astype(prm_ref.dtype)
 
     @pl.when(j < n_q_tiles)
     def _q():
@@ -729,17 +731,37 @@ def _gemm_qkv_ring_kernel(
 
     @pl.when((j >= n_q_tiles) & (j < n_q_tiles + n_k_tiles))
     def _k():
-        store_ring(roped(), kc_ref, kc_in, kp_ref, n_q_tiles)
+        codes, scales, zeros = _kv_quantize_tile(roped(), head_dim)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[0], half, w_ring), 2
+        )
+        for h in range(heads):
+            cu = codes[h].astype(jnp.uint8)  # [tm, D] u4 values
+            packed = (cu[:, :half] & 0x0F) | (cu[:, half:] << 4)
+            kc_ref[:, h] = jnp.where(
+                lane == row, packed.astype(jnp.int8)[:, :, None], kc_in[:, h]
+            )
+        store_prm(scales, zeros, n_q_tiles, 0)
 
     @pl.when(j >= n_q_tiles + n_k_tiles)
     def _v():
-        store_ring(acc, vc_ref, vc_in, vp_ref, n_q_tiles + n_k_tiles)
+        codes, scales, zeros = _kv_quantize_tile(acc, head_dim)
+        sub = jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[0], 8, head_dim), 1
+        )
+        for h in range(heads):
+            # write ring row row_sub of this 8-row block; rows pass through
+            # from the aliased input otherwise
+            vc_ref[:, h] = jnp.where(
+                sub == row_sub, codes[h][:, None, :], vc_in[:, h]
+            ).astype(jnp.int8)
+        store_prm(scales, zeros, n_q_tiles + n_k_tiles, 2)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_q", "n_kv", "head_dim", "tile_n", "interpret"),
-    donate_argnames=("k_codes", "k_prm", "v_codes", "v_prm"),
+    donate_argnames=("k_codes", "prm", "v_codes"),
 )
 def packed_w4_gemm_qkv_ring(
     a: jnp.ndarray,   # int8 [M, kb + GROUP]
@@ -749,11 +771,10 @@ def packed_w4_gemm_qkv_ring(
     sw: jnp.ndarray,  # f32 [ng + 1, N]
     cos: jnp.ndarray,  # f32 [M, head_dim]
     sin: jnp.ndarray,
-    k_codes: jnp.ndarray,  # int8 [M, H, W, D] — hot ring (donated)
-    k_prm: jnp.ndarray,    # f32  [M, W, 2, H]
-    v_codes: jnp.ndarray,
-    v_prm: jnp.ndarray,
-    row: jnp.ndarray,      # int32 scalar — ring row to write
+    k_codes: jnp.ndarray,  # int8 [M, H, D/2, W] — hot ring (donated)
+    prm: jnp.ndarray,      # bf16 [M, 4, H, W]
+    v_codes: jnp.ndarray,  # int8 [M, H, W, D]
+    row: jnp.ndarray,      # int32 scalar — ring column to write
     n_q: int,
     n_kv: int,
     head_dim: int = 128,
@@ -762,9 +783,9 @@ def packed_w4_gemm_qkv_ring(
 ):
     """Decode-shape fused qkv GEMM storing K/V straight into the hot ring.
 
-    Returns (q bf16 [M, n_q] RoPE'd, k_codes', k_prm', v_codes', v_prm') —
-    the ring arrays updated in place (aliased) at ring row ``row``.
-    M must equal the ring's batch dim.
+    Returns (q bf16 [M, n_q] RoPE'd, k_codes', prm', v_codes') — the
+    page-layout ring arrays (see ``kv_hot``) updated in place (aliased) at
+    ring column ``row``.  M must equal the ring's batch dim.
     """
     from atom_tpu.ops.runtime import interpret_default
 
@@ -779,8 +800,8 @@ def packed_w4_gemm_qkv_ring(
     assert m % 32 == 0, "decode batch must be sublane-aligned"
     n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
     hpt = tn // head_dim
-    n_h = k_prm.shape[3]
-    w_ring = k_codes.shape[2]
+    n_h = prm.shape[2]
+    w_ring = k_codes.shape[3]
     assert w_ring % 8 == 0, "ring window must be 8-row blockable"
     tm = min(256, m)
 
@@ -794,9 +815,7 @@ def packed_w4_gemm_qkv_ring(
     n_tiles = n // tn
 
     def kc_map(i, j, row_ref):
-        return (
-            i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), row_ref[0] // 8, 0
-        )
+        return (i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), 0, 0)
 
     def vc_map(i, j, row_ref):
         return (
@@ -804,15 +823,11 @@ def packed_w4_gemm_qkv_ring(
             row_ref[0] // 8, 0,
         )
 
-    def prm_map(i, j, row_ref):
-        return (i, row_ref[0], 0, 0)
-
-    kc_spec = pl.BlockSpec((tm, hpt, 8, head_dim), kc_map)
+    kc_spec = pl.BlockSpec((tm, hpt, head_dim // 2, w_ring), kc_map)
+    prm_spec = pl.BlockSpec((tm, 4, n_h, w_ring), lambda i, j, r: (i, 0, 0, 0))
     vc_spec = pl.BlockSpec((tm, hpt, 8, head_dim), vc_map)
-    kp_spec = pl.BlockSpec((tm, 1, 2, n_h), prm_map)
-    vp_spec = pl.BlockSpec((tm, 1, 2, n_h), prm_map)
 
-    q, kc, kp, vc, vp = pl.pallas_call(
+    q, kc, pr, vc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -825,26 +840,25 @@ def packed_w4_gemm_qkv_ring(
                 pl.BlockSpec((GROUP, tn), lambda i, j, r: (0, j)),
                 pl.BlockSpec((tm, ng + 1), lambda i, j, r: (i, 0)),
                 pl.BlockSpec((ng + 1, tn), lambda i, j, r: (0, j)),
-                kc_spec, kp_spec, vc_spec, vp_spec,
+                kc_spec, prm_spec, vc_spec,
             ],
             out_specs=[
                 pl.BlockSpec((tm, tn), lambda i, j, r: (i, jnp.minimum(j, n_q_tiles - 1))),
-                kc_spec, kp_spec, vc_spec, vp_spec,
+                kc_spec, prm_spec, vc_spec,
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((m, n_q), jnp.bfloat16),
             jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
-            jax.ShapeDtypeStruct(k_prm.shape, jnp.float32),
+            jax.ShapeDtypeStruct(prm.shape, jnp.bfloat16),
             jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
-            jax.ShapeDtypeStruct(v_prm.shape, jnp.float32),
         ],
-        # ring inputs are 8..11 (after 1 prefetch + 7 GEMM inputs), outputs 1..4
-        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        # ring inputs are 8..10 (after 1 prefetch + 7 GEMM inputs), outputs 1..3
+        input_output_aliases={8: 1, 9: 2, 10: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.asarray(row, jnp.int32).reshape(1), cos, sin, a, wp, wk, sa, sw,
-      k_codes, k_prm, v_codes, v_prm)
-    return q, kc, kp, vc, vp
+      k_codes, prm, v_codes)
+    return q, kc, pr, vc

@@ -58,7 +58,11 @@ from atom_tpu.ops.kv_layout import (
     make_kv_pages_kernel,
     pack_channel_planes,
 )
-from atom_tpu.ops.pallas_decode import flush_hot_pallas, paged_decode_attention_rotated
+from atom_tpu.ops.pallas_decode import (
+    flush_hot_pallas,
+    paged_decode_attention_rotated,
+    paged_ring_decode_attention,
+)
 from atom_tpu.ops.pallas_gemm_packed import quant_gemm_packed
 
 
@@ -437,16 +441,12 @@ def decode_hidden(
             pg = state.pages[l]
         new_pages.append(pg)
 
-        with jax.named_scope("paged_attention"):
-            out1, m1, l1 = paged_decode_attention_rotated(
-                q, pg, page_table, flushed_new, return_state=True,
-                out_dtype=jnp.float32,  # merge in f32; bf16 after the merge
-            )
-        with jax.named_scope("ring_attention"):
-            out2, m2, l2 = hot_attention(q, hot_l, n_hot, row, sm_scale)
-            attn = merge_attention(out1, m1, l1, out2, m2, l2).reshape(
-                b, cfg.num_heads * dh
-            )
+        with jax.named_scope("paged_ring_attention"):
+            # ONE kernel covers pages + ring suffix (round 3): the XLA ring
+            # einsums and the per-layer softmax merge are gone.
+            attn = paged_ring_decode_attention(
+                q, pg, page_table, flushed_new, hot_l, n_hot, row,
+            ).reshape(b, cfg.num_heads * dh)
         with jax.named_scope("o_mlp"):
             x = _post_attn(x, attn, lp, spec, gather)
 

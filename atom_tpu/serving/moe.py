@@ -671,10 +671,7 @@ def make_moe_ep_step_fns(
             for _ in range(cfg.num_layers)
         ],
         hot=[
-            HotKV(
-                P(None, axis), P(None, None, None, axis),
-                P(None, axis), P(None, None, None, axis),
-            )
+            HotKV(P(None, axis), P(None, None, axis), P(None, axis))
             for _ in range(cfg.num_layers)
         ],
         row=P(),

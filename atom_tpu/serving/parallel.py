@@ -145,8 +145,8 @@ def make_state_sharded(
     )
     pg_shd = NamedSharding(mesh, P(None, axis))        # [P, H, ...]
     prm_shd = NamedSharding(mesh, P(None, None, axis))  # [P, 4, H, S]
-    hotc_shd = NamedSharding(mesh, P(None, axis))      # codes [B, H, W, D]
-    hotp_shd = NamedSharding(mesh, P(None, None, None, axis))  # [B, W, 2, H]
+    hotc_shd = NamedSharding(mesh, P(None, axis))      # codes [B, H, ...]
+    hotp_shd = NamedSharding(mesh, P(None, None, axis))  # prm [B, 4, H, W]
     rep = NamedSharding(mesh, P())
 
     def place_hot(h):
@@ -154,9 +154,8 @@ def make_state_sharded(
 
         return HotKV(
             k_codes=jax.device_put(h.k_codes, hotc_shd),
-            k_prm=jax.device_put(h.k_prm, hotp_shd),
+            prm=jax.device_put(h.prm, hotp_shd),
             v_codes=jax.device_put(h.v_codes, hotc_shd),
-            v_prm=jax.device_put(h.v_prm, hotp_shd),
         )
 
     def place_pages(pg):
@@ -243,10 +242,7 @@ def make_tp_step_fns(
             for _ in range(cfg.num_layers)
         ],
         hot=[
-            HotKV(
-                P(None, axis), P(None, None, None, axis),
-                P(None, axis), P(None, None, None, axis),
-            )
+            HotKV(P(None, axis), P(None, None, axis), P(None, axis))
             for _ in range(cfg.num_layers)
         ],
         row=P(),
