@@ -326,15 +326,15 @@ def _attn_block_decode_ring(
     sw = jnp.concatenate(
         [lp.wqkv.body_scale, lp.wqkv.keeper_scale[None, :]], axis=0
     )
-    q, kc, kp, vc, vp = packed_w4_gemm_qkv_ring(
+    q, kc, kp, vc = packed_w4_gemm_qkv_ring(
         a, lp.wqkv.body_packed, lp.wqkv.keeper, sa, sw,
         cos.astype(jnp.float32), sin.astype(jnp.float32),
-        hot.k_codes, hot.k_prm, hot.v_codes, hot.v_prm, row,
+        hot.k_codes, hot.prm, hot.v_codes, row,
         n_q=n_q, n_kv=n_kv, head_dim=dh,
     )
     return (
         q.reshape(b, cfg.num_heads, dh),
-        HotKV(k_codes=kc, k_prm=kp, v_codes=vc, v_prm=vp),
+        HotKV(k_codes=kc, prm=kp, v_codes=vc),
     )
 
 

@@ -50,9 +50,8 @@ def main():
         hot = make_hot(M, H, dh)
         hot = hot._replace(
             k_codes=jnp.full(hot.k_codes.shape, 3, jnp.int8),
-            k_prm=jnp.full(hot.k_prm.shape, 7.0, jnp.float32),
+            prm=jnp.full(hot.prm.shape, 7.0, jnp.bfloat16),
             v_codes=jnp.full(hot.v_codes.shape, 5, jnp.int8),
-            v_prm=jnp.full(hot.v_prm.shape, 9.0, jnp.float32),
         )
         row = jnp.int32(row_i)
         ref_hot = write_hot(
@@ -61,15 +60,14 @@ def main():
             KVQuant(vc0.reshape(M, H, dh), vp0),
         )
         t0 = time.time()
-        q1, kc1, kp1, vc1, vp1 = packed_w4_gemm_qkv_ring(
+        q1, kc1, kp1, vc1 = packed_w4_gemm_qkv_ring(
             a, wp, wk, sa, sw, cos, sin,
-            hot.k_codes, hot.k_prm, hot.v_codes, hot.v_prm, row,
+            hot.k_codes, hot.prm, hot.v_codes, row,
             n_q=n_q, n_kv=n_kv, head_dim=dh,
         )
         for name, ref, got in (
             ("q", q0, q1), ("kc", ref_hot.k_codes, kc1),
-            ("kp", ref_hot.k_prm, kp1), ("vc", ref_hot.v_codes, vc1),
-            ("vp", ref_hot.v_prm, vp1),
+            ("prm", ref_hot.prm, kp1), ("vc", ref_hot.v_codes, vc1),
         ):
             r, g = np.asarray(ref), np.asarray(got)
             if not np.array_equal(r, g):
@@ -88,7 +86,7 @@ def main():
     t_f = bench_op(
         lambda cos_: packed_w4_gemm_qkv_ring(
             a, wp, wk, sa, sw, cos_, sin,
-            hot.k_codes, hot.k_prm, hot.v_codes, hot.v_prm, jnp.int32(5),
+            hot.k_codes, hot.prm, hot.v_codes, jnp.int32(5),
             n_q=n_q, n_kv=n_kv, head_dim=dh,
         ),
         [cos], iters=30,

@@ -49,7 +49,10 @@ def main():
         write_hot,
     )
     from atom_tpu.ops.kv_layout import make_kv_pages_kernel
-    from atom_tpu.ops.pallas_decode import paged_decode_attention_rotated
+    from atom_tpu.ops.pallas_decode import (
+        paged_decode_attention_rotated,
+        paged_ring_decode_attention,
+    )
     from atom_tpu.ops.pallas_gemm_packed import (
         assemble_activation,
         packed_w4_gemm_qkv_ring,
@@ -141,7 +144,7 @@ def main():
         return packed_w4_gemm_qkv_ring(
             aa, lp.wqkv.body_packed, lp.wqkv.keeper, ss, sw,
             cos.astype(jnp.float32), sin.astype(jnp.float32),
-            hot.k_codes, hot.k_prm, hot.v_codes, hot.v_prm, row,
+            hot.k_codes, hot.prm, hot.v_codes, row,
             n_q=hq * dh, n_kv=h * dh, head_dim=dh,
         )
     timed("qkv_ring", f_qkv_ring, [a, sa], 1)
@@ -151,6 +154,11 @@ def main():
             qq, pages, table, lens, return_state=True,
             out_dtype=jnp.float32)
     timed("paged", f_paged, [q_in], 0, n=200)
+
+    def f_paged_ring(qq):  # the round-3 merged kernel (production path)
+        return paged_ring_decode_attention(
+            qq, pages, table, lens, hot_full, n_hot, row)
+    timed("paged_ring", f_paged_ring, [q_in], 0, n=200)
 
     out1, m1, l1 = f_paged(q_in)
 
