@@ -80,6 +80,7 @@ class TextGenEngine:
         state,
         chunk_fn: Optional[Callable] = None,
         native: object = "auto",
+        lora: bool = False,
     ):
         """``chunk_fn`` (optional) enables MIXED scheduling: prompts are
         processed in page-size chunks that ride the decode batch — decode
@@ -96,6 +97,12 @@ class TextGenEngine:
         self.prefill_fn = prefill_fn
         self.decode_fn = decode_fn
         self.chunk_fn = chunk_fn
+        # LoRA serving (serving/lora.py): step fns take a trailing adapter
+        # argument; the engine maintains the slot -> adapter mapping from
+        # RequestSet.adapter_ids.  Chunked prefill is not wired for LoRA yet.
+        self.lora = lora
+        if lora:
+            assert chunk_fn is None, "LoRA engine uses serial prefill"
         self.state = state
         self.max_pages = -(-cfg.max_seq_len // cfg.page_size)
         # Native C++ scheduler (page allocator + per-step table/lens
@@ -137,6 +144,9 @@ class TextGenEngine:
         workset: List[Optional[_ActiveSeq]] = [None] * bsz
         # slots mid-chunked-prefill (mixed scheduling): slot -> [seq, next_pos]
         prefilling: dict = {}
+        # per-slot adapter indices (LoRA); refreshed on device at admission
+        slot_adapters = np.zeros((bsz,), np.int32)
+        adapters_dev = jnp.asarray(slot_adapters) if self.lora else None
         next_req = 0
         done = 0
         n_req = len(rs)
@@ -197,13 +207,30 @@ class TextGenEngine:
                 else:
                     table_row = np.zeros((self.max_pages,), np.int32)
                     table_row[: len(kv.page_ids)] = kv.page_ids
-                tok, state = self.prefill_fn(
-                    state,
-                    jnp.asarray(ids),
-                    jnp.asarray(table_row),
-                    jnp.int32(t_true),
-                    jnp.int32(slot),
-                )
+                if self.lora:
+                    aid = (
+                        int(rs.adapter_ids[r])
+                        if rs.adapter_ids is not None else 0
+                    )
+                    if slot_adapters[slot] != aid:
+                        slot_adapters[slot] = aid
+                        adapters_dev = jnp.asarray(slot_adapters)
+                    tok, state = self.prefill_fn(
+                        state,
+                        jnp.asarray(ids),
+                        jnp.asarray(table_row),
+                        jnp.int32(t_true),
+                        jnp.int32(slot),
+                        jnp.int32(aid),
+                    )
+                else:
+                    tok, state = self.prefill_fn(
+                        state,
+                        jnp.asarray(ids),
+                        jnp.asarray(table_row),
+                        jnp.int32(t_true),
+                        jnp.int32(slot),
+                    )
                 ids_dev = ids_dev.at[slot].set(tok)
                 # TTFT is stamped on DEVICE COMPLETION of the prefill (not
                 # async dispatch): block on the produced token first.
@@ -298,12 +325,17 @@ class TextGenEngine:
                 if active:
                     n_mixed_steps += 1
             elif active:
-                ids_dev, state = self.decode_fn(
-                    state,
-                    ids_dev,
-                    table_dev,
-                    lens_dev,
-                )
+                if self.lora:
+                    ids_dev, state = self.decode_fn(
+                        state, ids_dev, table_dev, lens_dev, adapters_dev,
+                    )
+                else:
+                    ids_dev, state = self.decode_fn(
+                        state,
+                        ids_dev,
+                        table_dev,
+                        lens_dev,
+                    )
             if active:
                 n_decode_steps += 1
 

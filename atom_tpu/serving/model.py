@@ -375,6 +375,8 @@ def decode_hidden(
     spec: QuantSpec,
     gather=None,
     flush: bool = False,
+    attn_block_fn=None,
+    post_attn_fn=None,
 ):
     """Layer stack of one decode step -> (final-norm hidden [B, D], state).
 
@@ -382,6 +384,11 @@ def decode_hidden(
     flush into pages) -> paged-kernel + hot-ring attention merge -> o/MLP.
     ``cfg`` describes the PER-SHARD head counts under TP; ``gather``
     all-gathers column-sharded outputs (see ``_post_attn``).
+
+    ``attn_block_fn(x, lp, layer, rope, hot, row) -> (q, hot')`` and
+    ``post_attn_fn(x, attn, lp, layer, gather) -> x'`` override the base
+    blocks (LoRA serving injects its adapter deltas here, ``serving/lora.py``);
+    None keeps the production path byte-identical.
     """
     b = ids.shape[0]
     dh = cfg.head_dim
@@ -425,9 +432,14 @@ def decode_hidden(
     for l, lp in enumerate(params.layers):
       with jax.named_scope(f"layer{l}"):
         with jax.named_scope("qkv_ring"):
-            q, hot_l = _attn_block_decode_ring(
-                x, lp, cfg, spec, (cos, sin), state.hot[l], row
-            )
+            if attn_block_fn is None:
+                q, hot_l = _attn_block_decode_ring(
+                    x, lp, cfg, spec, (cos, sin), state.hot[l], row
+                )
+            else:
+                q, hot_l = attn_block_fn(
+                    x, lp, l, (cos, sin), state.hot[l], row
+                )
         new_hot.append(hot_l)
 
         if flush:
@@ -448,7 +460,10 @@ def decode_hidden(
                 q, pg, page_table, flushed_new, hot_l, n_hot, row,
             ).reshape(b, cfg.num_heads * dh)
         with jax.named_scope("o_mlp"):
-            x = _post_attn(x, attn, lp, spec, gather)
+            if post_attn_fn is None:
+                x = _post_attn(x, attn, lp, spec, gather)
+            else:
+                x = post_attn_fn(x, attn, lp, l, gather)
 
     new_state = ServingState(
         pages=new_pages, hot=new_hot, row=(row + 1) % w, flushed=flushed_new
@@ -589,6 +604,8 @@ def prefill_hidden(
     cfg: ModelConfig,
     spec: QuantSpec,
     gather=None,
+    attn_block_fn=None,
+    post_attn_fn=None,
 ):
     """Layer stack of a prefill -> (final-norm hidden [T, D], pages).
 
@@ -606,7 +623,10 @@ def prefill_hidden(
 
     new_pages = []
     for l, lp in enumerate(params.layers):
-        q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
+        if attn_block_fn is None:
+            q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
+        else:
+            q, kq, vq = attn_block_fn(x, lp, l, (cos, sin))
         new_pages.append(append_kv_prefill_kernel(pages[l], kq, vq, table_row))
 
         # Attention with the SAME numerics as the decode kernel (affine-code
@@ -616,7 +636,10 @@ def prefill_hidden(
         attn = causal_code_attention(
             q, kq, vq, groups, dh ** -0.5, key_block=key_block
         )
-        x = _post_attn(x, attn, lp, spec, gather)
+        if post_attn_fn is None:
+            x = _post_attn(x, attn, lp, spec, gather)
+        else:
+            x = post_attn_fn(x, attn, lp, l, gather)
 
     return rmsnorm(x, params.final_norm, cfg.norm_eps), new_pages
 

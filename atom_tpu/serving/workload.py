@@ -7,7 +7,7 @@ Same distributions here, seeded, so throughput numbers are reproducible.
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -17,6 +17,8 @@ class RequestSet:
     prompt_lens: np.ndarray  # int32 [N]
     output_lens: np.ndarray  # int32 [N]
     prompts: List[np.ndarray]  # random token ids per request
+    # per-request LoRA adapter index (serving/lora.py); None = all base/0
+    adapter_ids: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.prompt_lens)
