@@ -208,12 +208,15 @@ def _decode_ring_kernel(
 ):
     """Paged decode attention + the hot-ring suffix in ONE kernel.
 
-    Pages run exactly like ``_decode_kernel``; the LAST grid step processes
-    the ring as a W-lane pseudo-page.  Because ring K is channel-packed per
-    head ([Hb, D/2, W]) the score dot is expressed as ONE standard-
-    orientation block-diagonal MXU dot: q is expanded to [R, Hb*D/2] with
-    each row's 64 channels placed in its own head's lane block (zeros
-    elsewhere — exact zeros contribute nothing), K flattens to
+    Pages run exactly like ``_decode_kernel``; grid step 0 ADDITIONALLY
+    processes the ring as a W-lane pseudo-page (the online-softmax chain is
+    order-free, so folding the ring into the first iteration — its blocks
+    are grid-resident anyway — avoids spending a whole extra grid step on
+    32 lanes of work; at ctx 512 that is 1/3 of the grid).  Because ring K
+    is channel-packed per head ([Hb, D/2, W]) the score dot is expressed as
+    ONE standard-orientation block-diagonal MXU dot: q is expanded to
+    [R, Hb*D/2] with each row's 64 channels placed in its own head's lane
+    block (zeros elsewhere — exact zeros contribute nothing), K flattens to
     [Hb*D/2, W]; same trick for p.V with V flattened to [Hb*W, D].  This
     replaces the per-layer XLA einsum ring attention + softmax merge.
     """
@@ -227,19 +230,6 @@ def _decode_ring_kernel(
     r_all = hb * g
 
     @pl.when(i == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when((i < n_blocks - 1) & (i * s < seq_len))
-    def _page():
-        _decode_page_step(
-            q_ref, kp_ref, prm_ref, vp_ref, acc_ref, m_ref, l_ref, sc_ref,
-            pv_ref, i * s, seq_len, head_block, groups, page_size, sm_scale,
-        )
-
-    @pl.when(i == n_blocks - 1)
     def _ring():
         w = hk_ref.shape[3]
         d = hv_ref.shape[3]
@@ -247,6 +237,9 @@ def _decode_ring_kernel(
         row = row_ref[0]
         n_hot = nh_ref[b]
         q_all = q_ref[0]  # [R, D] bf16
+        # fused init: this is grid step 0
+        m_prev = jnp.full((r_all, 1), _NEG_INF, jnp.float32)
+        l_prev = jnp.zeros((r_all, 1), jnp.float32)
 
         # --- scores: one block-diagonal MXU dot per nibble plane ---
         ku = hk_ref[0].astype(jnp.uint8)          # [Hb, D/2, W]
@@ -288,12 +281,9 @@ def _decode_ring_kernel(
         valid = age < n_hot  # [1, W]
         scores = jnp.where(valid, scores, _NEG_INF)
 
-        m_prev = m_ref[:, 0:1]
-        l_prev = l_ref[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # [R, W]
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_new = jnp.sum(p, axis=1, keepdims=True)
 
         # --- p.V: block-diagonal f32 dot against [Hb*W, D] ---
         pw = p * rep(prm[2])
@@ -310,9 +300,21 @@ def _decode_ring_kernel(
         )  # [R, D]
         z_corr = jnp.sum(p * rep(prm[3]), axis=1, keepdims=True)
 
-        acc = acc_ref[:] * alpha + pv + z_corr
-        l_fin = jnp.maximum(l_new, 1e-20)
-        o_ref[0] = (acc / l_fin).astype(o_ref.dtype)
+        acc_ref[:] = pv + z_corr
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i * s < seq_len)
+    def _page():
+        _decode_page_step(
+            q_ref, kp_ref, prm_ref, vp_ref, acc_ref, m_ref, l_ref, sc_ref,
+            pv_ref, i * s, seq_len, head_block, groups, page_size, sm_scale,
+        )
+
+    @pl.when(i == n_blocks - 1)
+    def _store():
+        l_fin = jnp.maximum(l_ref[:, 0:1], 1e-20)
+        o_ref[0] = (acc_ref[:] / l_fin).astype(o_ref.dtype)
 
 
 def _decode_page_step(
@@ -441,7 +443,7 @@ def paged_ring_decode_attention(
         last = jnp.maximum(pl.cdiv(sl[i_b], s) - 1, 0)
         return pt[i_b, jnp.minimum(i_p, last)]
 
-    grid = (b, h // hb, max_pages + 1)
+    grid = (b, h // hb, max_pages)  # ring rides grid step 0 (no extra step)
     kernel = functools.partial(
         _decode_ring_kernel,
         head_block=hb,
