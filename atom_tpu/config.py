@@ -91,6 +91,14 @@ class QuantSpec:
     reorder: bool = True
     act_sort_metric: str = "hessian"  # or "abs_mean"
 
+    # Serving: allow the fused norm+quant-prologue kernels on the decode
+    # path (``serving/model.py``).  The fused kernels match the unfused op
+    # chain up to rare quantization-boundary code flips (f32 reductions
+    # reassociate between separately-compiled programs); parity tests that
+    # require BITWISE equality between two serving configurations (e.g. TP
+    # vs single-chip) disable them.
+    fused_serving: bool = True
+
     # GPTQ weight calibration.
     use_gptq: bool = True
     percdamp: float = 0.01

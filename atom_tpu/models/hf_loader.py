@@ -257,6 +257,12 @@ def pack_calibrated_params(params, cfg: ModelConfig, spec):
             wo=packed(lp["wo"]),
             wgateup=packed(jnp.concatenate([lp["wgate"], lp["wup"]], axis=1)),
             wdown=packed(lp["wdown"]),
+            ln_attn_g=jnp.take(
+                lp["input_ln"].astype(jnp.bfloat16), lp["attn_ln_idx"]
+            ),
+            ln_mlp_g=jnp.take(
+                lp["post_ln"].astype(jnp.bfloat16), lp["mlp_ln_idx"]
+            ),
         ))
     return ServingParams(
         embed=params["embed"].astype(jnp.bfloat16),

@@ -367,6 +367,230 @@ def assemble_activation(qa: QuantizedActivation):
     return a, sa
 
 
+# ---------------------------------------------------------------------------
+# Float-input variants: dynamic quantization (and optionally the RMSNorm) as
+# an in-kernel PROLOGUE
+# ---------------------------------------------------------------------------
+#
+# The production decode layer spends ~10-12 dispatched XLA ops per GEMM on
+# the dynamic-quantize chain feeding it (norm -> gather -> per-group absmax
+# -> scale -> round -> concats), ~5-6 us each on v5e.  These variants take
+# the float activation directly and quantize it into VMEM scratch at grid
+# step 0 — the TPU analog of the reference fusing the quantize epilogue of
+# the PRODUCER into each kernel (``RMSNorm.cuh:67-200``, ``Reorder.cuh:
+# 109-189``); here it is a prologue of the CONSUMER, which additionally
+# keeps the codes in VMEM.
+#
+# RMSNorm note: the channel gather stays in XLA (a lane permutation inside
+# Mosaic is not cheap), but the NORM can move in-kernel even though it runs
+# before the gather — rms statistics are permutation-invariant, so
+# ``gather(rmsnorm(x, w)) == rmsnorm_nw(gather(x)) * gather(w)`` with the
+# row rsqrt computed from the gathered values.  Callers pass the PRE-GATHERED
+# norm weight (``w[reorder_idx]``, precomputed at init) and the gathered x.
+# The bf16 round-trip between the rsqrt-multiply and the weight-multiply
+# matches ``models.nn.rmsnorm`` exactly (f32 statistics, bf16 cast, f32
+# weight product).
+
+
+def _quant_block_sym(x, bits, clip_ratio):
+    """``quantize_groups(..., sym=True)`` on one [tm, 128] f32 block.
+
+    Bitwise the same math: absmax (exact, order-free), optional clip,
+    scale = max/qmax, round, clamp.  Returns (int8 codes, f32 scale [tm,1]).
+    """
+    from atom_tpu.quant.core import _EPS
+
+    qmax = 2 ** (bits - 1) - 1
+    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), _EPS)
+    if clip_ratio < 1.0:
+        amax = amax * clip_ratio
+    scale = amax / qmax
+    codes = jnp.clip(jnp.round(x / scale), -(qmax + 1), qmax)
+    return codes.astype(jnp.int8), scale
+
+
+def _quant_prologue(
+    y_ref, wg_ref, qy_ref, qs_ref, *, ngy, abits, a_clip, eps
+):
+    """Dual-path dynamic quantization of a float activation block into VMEM.
+
+    ``quantize_activation_packed`` semantics bit for bit: per-128-group INT4
+    body with clip + per-token INT8 keeper (final 128 channels), scales in
+    ``qs_ref`` columns 0..ngy-1 (body) and ngy (keeper).  With ``wg_ref``
+    the RMSNorm runs first (see module comment above).
+    """
+    y32 = y_ref[:].astype(jnp.float32)
+    if wg_ref is not None:
+        # exact ``models.nn.rmsnorm`` numerics: f32 statistics, round to the
+        # hidden dtype, weight product rounded to the weight dtype.  The
+        # roundings use ``lax.reduce_precision`` — astype round-trips
+        # (f32 -> bf16 -> f32) get ELIDED by XLA inside a fused kernel
+        # program, which silently skips the rounding the unfused path
+        # applies (measured: 1-bf16-ulp fuzz flipping ~2% of INT4 codes);
+        # reduce_precision is never elided.
+        def rp(v, dt):
+            fi = jnp.finfo(dt)
+            if fi.bits >= 32:
+                return v
+            return jax.lax.reduce_precision(v, fi.nexp, fi.nmant)
+
+        var = jnp.mean(y32 * y32, axis=1, keepdims=True)
+        xn = rp(y32 * jax.lax.rsqrt(var + eps), y_ref.dtype)
+        y32 = rp(xn * wg_ref[:].astype(jnp.float32), wg_ref.dtype)
+    for k in range(ngy):
+        codes, scale = _quant_block_sym(
+            y32[:, k * GROUP : (k + 1) * GROUP], abits, a_clip
+        )
+        qy_ref[:, k * GROUP : (k + 1) * GROUP] = codes
+        qs_ref[:, k : k + 1] = scale
+    codes, scale = _quant_block_sym(y32[:, ngy * GROUP :], 8, 1.0)
+    qy_ref[:, ngy * GROUP :] = codes
+    qs_ref[:, ngy : ngy + 1] = scale
+
+
+def _gemm_fused_in_kernel(
+    y_ref,      # float [tm, K] — gathered (reordered) activation
+    wg_ref,     # f32 [1, K] gathered norm weight, or None
+    resid_ref,  # [tm, tn] residual tile, or None
+    wp_ref, wk_ref, sw_ref,
+    out_ref,    # [tm, tn]
+    qy_ref,     # int8 [tm, K] scratch
+    qs_ref,     # f32 [tm, 128] scratch
+    *,
+    ng: int,
+    abits: int,
+    a_clip: float,
+    eps: float,
+):
+    @pl.when(pl.program_id(1) == 0)
+    def _quantize():
+        _quant_prologue(
+            y_ref, wg_ref, qy_ref, qs_ref,
+            ngy=ng, abits=abits, a_clip=a_clip, eps=eps,
+        )
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g in range(ng):
+        w_lo, w_hi = _unpack_nibbles(wp_ref[g * HALF : (g + 1) * HALF, :])
+        a_lo = qy_ref[:, g * GROUP : g * GROUP + HALF]
+        a_hi = qy_ref[:, g * GROUP + HALF : (g + 1) * GROUP]
+        acc_g = _DOT_I32(a_lo, w_lo) + _DOT_I32(a_hi, w_hi)
+        acc += (
+            acc_g.astype(jnp.float32)
+            * qs_ref[:, g : g + 1]
+            * sw_ref[g : g + 1, :]
+        )
+    acc_k = _DOT_I32(qy_ref[:, ng * GROUP : (ng + 1) * GROUP], wk_ref[:])
+    acc += (
+        acc_k.astype(jnp.float32)
+        * qs_ref[:, ng : ng + 1]
+        * sw_ref[ng : ng + 1, :]
+    )
+    if resid_ref is not None:
+        out_ref[:] = resid_ref[:] + acc.astype(out_ref.dtype)
+    else:
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("abits", "a_clip", "eps", "out_dtype", "tile_n",
+                     "interpret"),
+)
+def packed_w4_gemm_fused_in(
+    y: jnp.ndarray,            # float [M, K] — gathered activation
+    kw: KernelPackedWeight,    # K -> N
+    norm_w: jnp.ndarray = None,  # f32 [K] — GATHERED norm weight (w[ridx])
+    resid: jnp.ndarray = None,   # [M, N] — residual added in-kernel
+    abits: int = 4,
+    a_clip: float = 1.0,
+    eps: float = 1e-5,
+    out_dtype=jnp.bfloat16,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """4-bit GEMM with the dynamic quantization (+ optional RMSNorm) fused
+    in as a grid-step-0 prologue.  Decode shapes (M <= 256, ng <= 112)."""
+    from atom_tpu.ops.runtime import interpret_default
+
+    interpret = interpret_default(interpret)
+    m, ktot = y.shape
+    wp, wk = kw.body_packed, kw.keeper
+    sw = jnp.concatenate([kw.body_scale, kw.keeper_scale[None, :]], axis=0)
+    n = wp.shape[1]
+    kb = ktot - GROUP
+    ng = kb // GROUP
+    assert ng <= _KBLK_THRESHOLD, "deep-K fused-in path not implemented"
+    if resid is not None:
+        assert resid.shape == (m, n)
+        out_dtype = resid.dtype
+    tn = min(tile_n, _round_up(n, 128))
+    tm = min(256, _round_up(m, 32))
+    pad_m = _round_up(m, tm) - m
+    pad_n = _round_up(n, tn) - n
+    if pad_m:
+        y = jnp.pad(y, ((0, pad_m), (0, 0)))
+        if resid is not None:
+            resid = jnp.pad(resid, ((0, pad_m), (0, 0)))
+    if pad_n:
+        wp = jnp.pad(wp, ((0, 0), (0, pad_n)))
+        wk = jnp.pad(wk, ((0, 0), (0, pad_n)))
+        sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
+        if resid is not None:
+            resid = jnp.pad(resid, ((0, 0), (0, pad_n)))
+    mp, np_ = m + pad_m, n + pad_n
+
+    kernel = functools.partial(
+        _gemm_fused_in_kernel, ng=ng, abits=abits, a_clip=a_clip, eps=eps,
+    )
+    specs = [pl.BlockSpec((tm, ktot), lambda i, j: (i, 0))]
+    args = [y]
+    if norm_w is not None:
+        specs.append(pl.BlockSpec((1, ktot), lambda i, j: (0, 0)))
+        args.append(norm_w.reshape(1, ktot))
+    if resid is not None:
+        specs.append(pl.BlockSpec((tm, tn), lambda i, j: (i, j)))
+        args.append(resid)
+
+    def body(*refs):
+        off = 1
+        wg_ref = refs[off] if norm_w is not None else None
+        off += norm_w is not None
+        resid_ref = refs[off] if resid is not None else None
+        off += resid is not None
+        return kernel(
+            refs[0], wg_ref, resid_ref, *refs[off : off + 3],
+            refs[off + 3], refs[off + 4], refs[off + 5],
+        )
+
+    out = pl.pallas_call(
+        body,
+        grid=(mp // tm, np_ // tn),
+        in_specs=specs + [
+            pl.BlockSpec((kb // 2, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((GROUP, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((ng + 1, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tm, ktot), jnp.int8),
+            pltpu.VMEM((tm, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * ktot,
+            bytes_accessed=2 * mp * ktot + (kb // 2 + GROUP) * np_
+            + 4 * mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args, wp, wk, sw)
+    return out[:m, :n]
+
+
 def quant_gemm_packed(
     qa: QuantizedActivation,
     kw: KernelPackedWeight,
@@ -650,23 +874,17 @@ def _kv_quantize_tile(x, head_dim):
     return codes, scales, zeros
 
 
-def _gemm_qkv_ring_kernel(
-    row_ref,           # int32 [1] scalar prefetch (drives the V index maps)
-    cos_ref, sin_ref,  # f32 [tm, head_dim]
-    a_ref, wp_ref, wk_ref, sa_ref, sw_ref,
-    kc_in, prm_in, vc_in,   # aliased ring blocks (prime source)
-    q_ref,    # bf16 [tm, tn] — RoPE'd q (q region)
-    kc_ref,   # int8 [tm, hpt, D/2, W] — channel-packed ring (k region)
-    prm_ref,  # bf16 [tm, 4, H, W] — merged affine planes (constant map)
-    vc_ref,   # int8 [tm, hpt, 8, D] — ring rows [row8, row8+8) (v region)
+def _qkv_ring_epilogue(
+    row, acc, cos_ref, sin_ref, kc_in, prm_in, vc_in,
+    q_ref, kc_ref, prm_ref, vc_ref,
     *,
-    ng: int,
     head_dim: int,
     n_q_tiles: int,
     n_k_tiles: int,
 ):
+    """RoPE + per-head KV quantize + ring stores, shared by the int-input
+    and float-input (fused norm+quant prologue) qkv-ring kernels."""
     j = pl.program_id(1)
-    row = row_ref[0]
     # V blocks Mosaic-block the ring axis in groups of 8 SUBLANES; the K and
     # prm blocks keep the ring axis on LANES (full W) and mask at lane row.
     row_sub = row % 8
@@ -674,24 +892,6 @@ def _gemm_qkv_ring_kernel(
     @pl.when(j == 0)
     def _prime():
         prm_ref[:] = prm_in[:]
-
-    acc = jnp.zeros(q_ref.shape, jnp.float32)
-    for g in range(ng):
-        w_lo, w_hi = _unpack_nibbles(wp_ref[g * HALF : (g + 1) * HALF, :])
-        a_lo = a_ref[:, g * GROUP : g * GROUP + HALF]
-        a_hi = a_ref[:, g * GROUP + HALF : (g + 1) * GROUP]
-        acc_g = _DOT_I32(a_lo, w_lo) + _DOT_I32(a_hi, w_hi)
-        acc += (
-            acc_g.astype(jnp.float32)
-            * sa_ref[:, g : g + 1]
-            * sw_ref[g : g + 1, :]
-        )
-    acc_k = _DOT_I32(a_ref[:, ng * GROUP : (ng + 1) * GROUP], wk_ref[:])
-    acc += (
-        acc_k.astype(jnp.float32)
-        * sa_ref[:, ng : ng + 1]
-        * sw_ref[ng : ng + 1, :]
-    )
 
     heads = q_ref.shape[1] // head_dim
     half = head_dim // 2
@@ -756,6 +956,92 @@ def _gemm_qkv_ring_kernel(
                 sub == row_sub, codes[h][:, None, :], vc_in[:, h]
             ).astype(jnp.int8)
         store_prm(scales, zeros, n_q_tiles + n_k_tiles, 2)
+
+
+def _acc_body_keeper(a_ref, sa_ref, wp_ref, wk_ref, sw_ref, shape, ng):
+    """The packed-GEMM group-dot accumulation shared by every decode kernel
+    (bit-identical f32 scale-accumulate order across all of them)."""
+    acc = jnp.zeros(shape, jnp.float32)
+    for g in range(ng):
+        w_lo, w_hi = _unpack_nibbles(wp_ref[g * HALF : (g + 1) * HALF, :])
+        a_lo = a_ref[:, g * GROUP : g * GROUP + HALF]
+        a_hi = a_ref[:, g * GROUP + HALF : (g + 1) * GROUP]
+        acc_g = _DOT_I32(a_lo, w_lo) + _DOT_I32(a_hi, w_hi)
+        acc += (
+            acc_g.astype(jnp.float32)
+            * sa_ref[:, g : g + 1]
+            * sw_ref[g : g + 1, :]
+        )
+    acc_k = _DOT_I32(a_ref[:, ng * GROUP : (ng + 1) * GROUP], wk_ref[:])
+    acc += (
+        acc_k.astype(jnp.float32)
+        * sa_ref[:, ng : ng + 1]
+        * sw_ref[ng : ng + 1, :]
+    )
+    return acc
+
+
+def _gemm_qkv_ring_kernel(
+    row_ref,           # int32 [1] scalar prefetch (drives the V index maps)
+    cos_ref, sin_ref,  # f32 [tm, head_dim]
+    a_ref, wp_ref, wk_ref, sa_ref, sw_ref,
+    kc_in, prm_in, vc_in,   # aliased ring blocks (prime source)
+    q_ref,    # bf16 [tm, tn] — RoPE'd q (q region)
+    kc_ref,   # int8 [tm, hpt, D/2, W] — channel-packed ring (k region)
+    prm_ref,  # bf16 [tm, 4, H, W] — merged affine planes (constant map)
+    vc_ref,   # int8 [tm, hpt, 8, D] — ring rows [row8, row8+8) (v region)
+    *,
+    ng: int,
+    head_dim: int,
+    n_q_tiles: int,
+    n_k_tiles: int,
+):
+    acc = _acc_body_keeper(a_ref, sa_ref, wp_ref, wk_ref, sw_ref,
+                           q_ref.shape, ng)
+    _qkv_ring_epilogue(
+        row_ref[0], acc, cos_ref, sin_ref, kc_in, prm_in, vc_in,
+        q_ref, kc_ref, prm_ref, vc_ref,
+        head_dim=head_dim, n_q_tiles=n_q_tiles, n_k_tiles=n_k_tiles,
+    )
+
+
+def _gemm_qkv_ring_fused_kernel(
+    row_ref,
+    cos_ref, sin_ref,
+    y_ref,    # float [tm, K] — gathered hidden (pre-norm)
+    wg_ref,   # f32 [1, K] — gathered attn norm weight
+    wp_ref, wk_ref, sw_ref,
+    kc_in, prm_in, vc_in,
+    q_ref, kc_ref, prm_ref, vc_ref,
+    qy_ref,   # int8 [tm, K] scratch
+    qs_ref,   # f32 [tm, 128] scratch
+    *,
+    ng: int,
+    head_dim: int,
+    n_q_tiles: int,
+    n_k_tiles: int,
+    abits: int,
+    a_clip: float,
+    eps: float,
+):
+    """qkv-ring GEMM with the RMSNorm + dynamic quantization fused in as the
+    grid-step-0 prologue — the only XLA op left ahead of it in the decode
+    layer is the reorder gather."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _quantize():
+        _quant_prologue(
+            y_ref, wg_ref, qy_ref, qs_ref,
+            ngy=ng, abits=abits, a_clip=a_clip, eps=eps,
+        )
+
+    acc = _acc_body_keeper(qy_ref, qs_ref, wp_ref, wk_ref, sw_ref,
+                           q_ref.shape, ng)
+    _qkv_ring_epilogue(
+        row_ref[0], acc, cos_ref, sin_ref, kc_in, prm_in, vc_in,
+        q_ref, kc_ref, prm_ref, vc_ref,
+        head_dim=head_dim, n_q_tiles=n_q_tiles, n_k_tiles=n_k_tiles,
+    )
 
 
 @functools.partial(
@@ -860,5 +1146,124 @@ def packed_w4_gemm_qkv_ring(
         ),
         interpret=interpret,
     )(jnp.asarray(row, jnp.int32).reshape(1), cos, sin, a, wp, wk, sa, sw,
+      k_codes, prm, v_codes)
+    return q, kc, pr, vc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_q", "n_kv", "head_dim", "abits", "a_clip", "eps",
+                     "tile_n", "interpret"),
+    donate_argnames=("k_codes", "prm", "v_codes"),
+)
+def packed_w4_gemm_qkv_ring_fused(
+    y: jnp.ndarray,   # float [M, K] — GATHERED hidden (pre-norm)
+    norm_w: jnp.ndarray,  # f32 [K] — gathered attn norm weight (w[ridx])
+    wp: jnp.ndarray,  # int8 [kb // 2, N]  (N = n_q + 2 * n_kv)
+    wk: jnp.ndarray,  # int8 [GROUP, N]
+    sw: jnp.ndarray,  # f32 [ng + 1, N]
+    cos: jnp.ndarray,  # f32 [M, head_dim]
+    sin: jnp.ndarray,
+    k_codes: jnp.ndarray,  # int8 [M, H, D/2, W] — hot ring (donated)
+    prm: jnp.ndarray,      # bf16 [M, 4, H, W]
+    v_codes: jnp.ndarray,  # int8 [M, H, W, D]
+    row: jnp.ndarray,      # int32 scalar — ring column to write
+    n_q: int,
+    n_kv: int,
+    head_dim: int = 128,
+    abits: int = 4,
+    a_clip: float = 1.0,
+    eps: float = 1e-5,
+    tile_n: int = 512,
+    interpret: bool = False,
+):
+    """``packed_w4_gemm_qkv_ring`` with the RMSNorm + dual-path dynamic
+    quantization fused in as the grid-step-0 prologue (float input).
+
+    ``y`` is the raw hidden state already gathered by the attention reorder
+    index; ``norm_w`` is the norm weight gathered by the SAME index (rms
+    statistics are permutation-invariant, so norm-after-gather with a
+    pre-gathered weight is exact — see the float-input module comment)."""
+    from atom_tpu.ops.runtime import interpret_default
+
+    interpret = interpret_default(interpret)
+    m, ktot = y.shape
+    n = wp.shape[1]
+    kb = ktot - GROUP
+    ng = kb // GROUP
+    tn = tile_n
+    assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
+    assert k_codes.shape[0] == m, "ring batch must equal GEMM M (no padding)"
+    assert m % 32 == 0, "decode batch must be sublane-aligned"
+    n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
+    hpt = tn // head_dim
+    n_h = prm.shape[2]
+    w_ring = k_codes.shape[3]
+    assert w_ring % 8 == 0, "ring window must be 8-row blockable"
+    tm = min(256, m)
+
+    kernel = functools.partial(
+        _gemm_qkv_ring_fused_kernel,
+        ng=ng,
+        head_dim=head_dim,
+        n_q_tiles=n_q_tiles,
+        n_k_tiles=n_k_tiles,
+        abits=abits,
+        a_clip=a_clip,
+        eps=eps,
+    )
+    n_tiles = n // tn
+
+    def kc_map(i, j, row_ref):
+        return (i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), 0, 0)
+
+    def vc_map(i, j, row_ref):
+        return (
+            i, jnp.clip(j - n_q_tiles - n_k_tiles, 0, n_k_tiles - 1),
+            row_ref[0] // 8, 0,
+        )
+
+    kc_spec = pl.BlockSpec((tm, hpt, head_dim // 2, w_ring), kc_map)
+    prm_spec = pl.BlockSpec((tm, 4, n_h, w_ring), lambda i, j, r: (i, 0, 0, 0))
+    vc_spec = pl.BlockSpec((tm, hpt, 8, head_dim), vc_map)
+
+    q, kc, pr, vc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m // tm, n_tiles),
+            in_specs=[
+                pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
+                pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
+                pl.BlockSpec((tm, ktot), lambda i, j, r: (i, 0)),
+                pl.BlockSpec((1, ktot), lambda i, j, r: (0, 0)),
+                pl.BlockSpec((kb // 2, tn), lambda i, j, r: (0, j)),
+                pl.BlockSpec((GROUP, tn), lambda i, j, r: (0, j)),
+                pl.BlockSpec((ng + 1, tn), lambda i, j, r: (0, j)),
+                kc_spec, prm_spec, vc_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((tm, tn), lambda i, j, r: (i, jnp.minimum(j, n_q_tiles - 1))),
+                kc_spec, prm_spec, vc_spec,
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tm, ktot), jnp.int8),
+                pltpu.VMEM((tm, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n_q), jnp.bfloat16),
+            jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
+            jax.ShapeDtypeStruct(prm.shape, jnp.bfloat16),
+            jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
+        ],
+        # ring inputs are 8..10 (after 1 prefetch + 7 GEMM inputs), outputs 1..3
+        input_output_aliases={8: 1, 9: 2, 10: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(row, jnp.int32).reshape(1), cos, sin, y,
+      norm_w.reshape(1, ktot), wp, wk, sw,
       k_codes, prm, v_codes)
     return q, kc, pr, vc

@@ -82,6 +82,11 @@ class ServingLayerParams(NamedTuple):
     wo: KernelPackedWeight     # [n_q, D]
     wgateup: KernelPackedWeight  # [D, 2 * inter]
     wdown: KernelPackedWeight  # [inter, D]
+    # Pre-gathered norm weights (ln[reorder]) for the fused norm+quant GEMM
+    # prologues — one fewer XLA gather per fused kernel per layer.  None
+    # falls back to gathering at trace time.
+    ln_attn_g: jnp.ndarray = None
+    ln_mlp_g: jnp.ndarray = None
 
 
 class ServingParams(NamedTuple):
@@ -127,6 +132,8 @@ def init_serving_params(
                 wo=_rand_packed(k[3], n_q, d, spec),
                 wgateup=_rand_packed(k[4], d, 2 * inter, spec),
                 wdown=_rand_packed(k[6], inter, d, spec),
+                ln_attn_g=jnp.ones((d,), jnp.bfloat16),
+                ln_mlp_g=jnp.ones((d,), jnp.bfloat16),
             )
         )
     return ServingParams(
@@ -284,6 +291,36 @@ def _post_attn(
     are bitwise-equal to single-chip outputs.
     """
     g = gather or (lambda v: v)
+
+    if gather is None and _fused_mlp_ok(x.shape, lp, spec):
+        # Two fused kernels for the whole post-attention half-layer; the only
+        # XLA ops left are the two reorder gathers.  (a) o_proj: in-kernel
+        # dynamic quant prologue + GEMM + residual add; (b) MLP: in-kernel
+        # RMSNorm (rms stats are permutation-invariant, so norm-after-gather
+        # with the pre-gathered weight is exact) + input quant -> gate/up
+        # dots -> SiLU*mul -> requant -> down dots -> residual add.  The
+        # [B, 2*inter] f32 intermediate and all three dynamic-quant XLA
+        # chains never touch HBM (``ops/pallas_mlp.py``).  TP keeps the
+        # unfused path: its gathers must see full feature dims for bitwise
+        # parity.
+        from atom_tpu.ops.pallas_gemm_packed import packed_w4_gemm_fused_in
+        from atom_tpu.ops.pallas_mlp import fused_mlp_packed
+
+        ao = jnp.take(attn_out, lp.o_reorder, axis=-1)
+        x = packed_w4_gemm_fused_in(
+            ao, lp.wo, resid=x, abits=spec.abits, a_clip=spec.a_clip_ratio,
+        )
+        wg = (
+            lp.ln_mlp_g
+            if lp.ln_mlp_g is not None
+            else jnp.take(lp.ln_mlp, lp.mlp_reorder)
+        )
+        y = jnp.take(x, lp.mlp_reorder, axis=-1)
+        return fused_mlp_packed(
+            y, x, lp.wgateup, lp.wdown, norm_w=wg,
+            abits=spec.abits, a_clip=spec.a_clip_ratio,
+        )
+
     a_in = R.reorder_quant(g(attn_out), lp.o_reorder, spec)
     x = x + g(quant_gemm_packed(a_in, lp.wo))
     m_in = R.rmsnorm_reorder_quant(x, lp.ln_mlp, lp.mlp_reorder, spec)
@@ -294,6 +331,46 @@ def _post_attn(
 
     d_in = quantize_activation_packed(g(act), spec)
     return x + g(quant_gemm_packed(d_in, lp.wdown))
+
+
+def _fused_spec_ok(spec: QuantSpec) -> bool:
+    """The canonical-Atom activation scheme the in-kernel quant prologues
+    implement: symmetric INT4 128-groups + INT8 128-keeper."""
+    from atom_tpu.config import KeeperPrecision, QuantType
+
+    return (
+        spec.fused_serving
+        and spec.a_sym
+        and spec.quant_type == QuantType.INT
+        and not spec.exponential
+        and spec.abits == 4
+        and spec.act_group_size == 128
+        and spec.keeper == 128
+        and spec.keeper_precision == KeeperPrecision.INT8
+    )
+
+
+def _fused_mlp_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
+    """Gate for the fused post-attention half-layer (fused-in o_proj +
+    fused-MLP kernel): decode batches, canonical Atom spec.
+
+    Above 32 rows each extra 32-row m-tile re-streams the full gate/up/down
+    weights from HBM, so prefill keeps the wide unfused GEMMs.
+    """
+    import os
+
+    from atom_tpu.ops.pallas_mlp import fused_mlp_supported
+
+    m, d = x_shape
+    inter = lp.wgateup.body_packed.shape[1] // 2
+    n_q = 2 * lp.wo.body_packed.shape[0] + 128  # o_proj input width
+    return (
+        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        and m <= 32
+        and _fused_spec_ok(spec)
+        and (n_q - 128) // 128 <= 112
+        and fused_mlp_supported(d, inter, spec.keeper, spec.act_group_size)
+    )
 
 
 def _attn_block_decode_ring(
@@ -318,14 +395,42 @@ def _attn_block_decode_ring(
     from atom_tpu.ops.pallas_gemm_packed import (
         assemble_activation,
         packed_w4_gemm_qkv_ring,
+        packed_w4_gemm_qkv_ring_fused,
     )
 
     cos, sin = rope
-    h_in = R.rmsnorm_reorder_quant(x, lp.ln_attn, lp.attn_reorder, spec)
-    a, sa = assemble_activation(h_in)
     sw = jnp.concatenate(
         [lp.wqkv.body_scale, lp.wqkv.keeper_scale[None, :]], axis=0
     )
+    import os
+
+    if (
+        _fused_spec_ok(spec)
+        and not os.environ.get("ATOM_TPU_NO_FUSED_QKV")
+        and x.shape[1] % 128 == 0
+        and (x.shape[1] - 128) // 128 <= 112
+    ):
+        # Float-input variant: RMSNorm + dual-path dynamic quantization run
+        # as the kernel's grid-step-0 prologue — the only XLA op left ahead
+        # of the qkv GEMM is the reorder gather.
+        y = jnp.take(x, lp.attn_reorder, axis=-1)
+        wg = getattr(lp, "ln_attn_g", None)  # MoE layer params lack it
+        if wg is None:
+            wg = jnp.take(lp.ln_attn, lp.attn_reorder)
+        q, kc, kp, vc = packed_w4_gemm_qkv_ring_fused(
+            y, wg, lp.wqkv.body_packed, lp.wqkv.keeper, sw,
+            cos.astype(jnp.float32), sin.astype(jnp.float32),
+            hot.k_codes, hot.prm, hot.v_codes, row,
+            n_q=n_q, n_kv=n_kv, head_dim=dh,
+            abits=spec.abits, a_clip=spec.a_clip_ratio,
+        )
+        return (
+            q.reshape(b, cfg.num_heads, dh),
+            HotKV(k_codes=kc, prm=kp, v_codes=vc),
+        )
+
+    h_in = R.rmsnorm_reorder_quant(x, lp.ln_attn, lp.attn_reorder, spec)
+    a, sa = assemble_activation(h_in)
     q, kc, kp, vc = packed_w4_gemm_qkv_ring(
         a, lp.wqkv.body_packed, lp.wqkv.keeper, sa, sw,
         cos.astype(jnp.float32), sin.astype(jnp.float32),

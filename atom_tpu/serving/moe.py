@@ -41,20 +41,18 @@ from atom_tpu.ops.formats import (
 )
 from atom_tpu.ops.kv_hot import (
     HOT_W,
-    hot_attention,
     hot_flush_blocks,
-    merge_attention,
-    write_hot,
 )
 from atom_tpu.ops.kv_layout import append_kv_prefill_kernel
 from atom_tpu.ops.pallas_decode import (
     flush_hot_pallas,
-    paged_decode_attention_rotated,
+    paged_ring_decode_attention,
 )
 from atom_tpu.ops.pallas_gemm_packed import quant_gemm_packed
 from atom_tpu.serving.model import (
     ServingState,
     _attn_block_common,
+    _attn_block_decode_ring,
     _embed_lookup,
     _lm_head_logits,
     causal_code_attention,
@@ -156,8 +154,16 @@ def _moe_mlp(
     combined result is bitwise the single-chip dense-routing sum).
     """
     g = gather or (lambda v: v)
-    a_in = R.reorder_quant(g(attn_out), lp.o_reorder, spec)
-    x = x + g(quant_gemm_packed(a_in, lp.wo))
+    if gather is None and _fused_expert_ok(attn_out.shape, lp, spec):
+        from atom_tpu.ops.pallas_gemm_packed import packed_w4_gemm_fused_in
+
+        ao = jnp.take(attn_out, lp.o_reorder, axis=-1)
+        x = packed_w4_gemm_fused_in(
+            ao, lp.wo, resid=x, abits=spec.abits, a_clip=spec.a_clip_ratio,
+        )
+    else:
+        a_in = R.reorder_quant(g(attn_out), lp.o_reorder, spec)
+        x = x + g(quant_gemm_packed(a_in, lp.wo))
 
     h = rmsnorm(x, lp.ln_mlp, cfg.norm_eps)
     h_r = jnp.take(h, lp.mlp_reorder, axis=-1)
@@ -168,9 +174,29 @@ def _moe_mlp(
         ),
         cfg.num_experts_per_tok,
     )  # [T, E] f32
-    a_q = quantize_activation_packed(h_r.astype(jnp.float32), spec)
-
     e0, n_local = expert_slice if expert_slice is not None else (0, cfg.num_experts)
+
+    if _fused_expert_ok(h_r.shape, lp, spec):
+        # One fused kernel per expert: in-kernel input quant (bitwise ==
+        # ``quantize_activation_packed``) -> gate/up dots -> SiLU*mul ->
+        # requant -> down dots -> ``acc + w_e * out_e`` — replaces the two
+        # GEMMs and two dynamic-quant XLA chains per expert.  The norm stays
+        # outside (the float router needs h_r).
+        from atom_tpu.ops.pallas_mlp import fused_mlp_packed
+
+        acc = jnp.zeros(x.shape, jnp.float32)
+        for j in range(n_local):
+            wg = jax.tree.map(lambda a: a[e0 + j], lp.wgateup)
+            wd = jax.tree.map(lambda a: a[e0 + j], lp.wdown)
+            acc = fused_mlp_packed(
+                h_r, acc, wg, wd, row_scale=weights[:, e0 + j],
+                abits=spec.abits, a_clip=spec.a_clip_ratio,
+            )
+        if psum is not None:
+            acc = psum(acc)
+        return x + acc.astype(x.dtype)
+
+    a_q = quantize_activation_packed(h_r.astype(jnp.float32), spec)
     acc = jnp.zeros(x.shape, jnp.float32)
     for j in range(n_local):
         wg = jax.tree.map(lambda a: a[e0 + j], lp.wgateup)
@@ -184,6 +210,23 @@ def _moe_mlp(
     if psum is not None:
         acc = psum(acc)
     return x + acc.astype(x.dtype)
+
+
+def _fused_expert_ok(h_shape, lp: MoEServingLayerParams, spec) -> bool:
+    """Gate for the fused per-expert MLP kernel (decode batches only)."""
+    from atom_tpu.ops.pallas_mlp import fused_mlp_supported
+    from atom_tpu.serving.model import _fused_spec_ok
+
+    import os
+
+    m, d = h_shape
+    inter = lp.wgateup.body_packed.shape[-1] // 2
+    return (
+        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        and m <= 32
+        and _fused_spec_ok(spec)
+        and fused_mlp_supported(d, inter, spec.keeper, spec.act_group_size)
+    )
 
 
 def _moe_mlp_routed(
@@ -300,7 +343,6 @@ def decode_hidden_moe(
     x = _embed_lookup(params.embed, ids)
     pos = jnp.maximum(seq_lens - 1, 0)
     cos, sin = rope_tables(pos, dh, cfg.rope_theta)
-    sm_scale = dh ** -0.5
 
     w = state.hot[0].window
     s_page = state.pages[0].page_size
@@ -329,8 +371,12 @@ def decode_hidden_moe(
 
     new_pages, new_hot = [], []
     for l, lp in enumerate(params.layers):
-        q, kq, vq = _attn_block_common(x, lp, cfg, spec, (cos, sin))
-        hot_l = write_hot(state.hot[l], row, kq, vq)
+        # same attention machinery as the Llama decode path (round 3):
+        # fused qkv GEMM storing K/V straight into the hot ring on the
+        # production geometry, and ONE merged paged+ring attention kernel
+        q, hot_l = _attn_block_decode_ring(
+            x, lp, cfg, spec, (cos, sin), state.hot[l], row
+        )
         new_hot.append(hot_l)
         if flush:
             pg = flush_hot_pallas(
@@ -340,14 +386,9 @@ def decode_hidden_moe(
         else:
             pg = state.pages[l]
         new_pages.append(pg)
-        out1, m1, l1 = paged_decode_attention_rotated(
-            q, pg, page_table, flushed_new, return_state=True,
-            out_dtype=jnp.float32,
-        )
-        out2, m2, l2 = hot_attention(q, hot_l, n_hot, row, sm_scale)
-        attn = merge_attention(out1, m1, l1, out2, m2, l2).reshape(
-            b, cfg.num_heads * dh
-        )
+        attn = paged_ring_decode_attention(
+            q, pg, page_table, flushed_new, hot_l, n_hot, row,
+        ).reshape(b, cfg.num_heads * dh)
         x = _moe_mlp(x, attn, lp, cfg, spec, gather, expert_slice, psum)
 
     new_state = ServingState(
@@ -563,7 +604,6 @@ def make_moe_ep_step_fns(
         x = _embed_lookup(local.embed, ids)
         pos = jnp.maximum(seq_lens - 1, 0)
         cos, sin = rope_tables(pos, dh, cfg.rope_theta)
-        sm_scale = dh ** -0.5
         w = state.hot[0].window
         s_page = state.pages[0].page_size
         row = state.row
@@ -591,8 +631,12 @@ def make_moe_ep_step_fns(
 
         new_pages, new_hot = [], []
         for l, lp in enumerate(local.layers):
-            q, kq, vq = _attn_block_common(x, lp, shard_cfg, spec, (cos, sin))
-            hot_l = write_hot(state.hot[l], row, kq, vq)
+            # mirror decode_hidden_moe EXACTLY (the EP test asserts bitwise
+            # equality with the single-chip step): ring-fused qkv where the
+            # per-shard geometry allows, merged paged+ring attention kernel
+            q, hot_l = _attn_block_decode_ring(
+                x, lp, shard_cfg, spec, (cos, sin), state.hot[l], row
+            )
             new_hot.append(hot_l)
             if flush:
                 pg = flush_hot_pallas(
@@ -602,14 +646,9 @@ def make_moe_ep_step_fns(
             else:
                 pg = state.pages[l]
             new_pages.append(pg)
-            out1, m1, l1 = paged_decode_attention_rotated(
-                q, pg, page_table, flushed_new, return_state=True,
-                out_dtype=jnp.float32,
-            )
-            out2, m2, l2 = hot_attention(q, hot_l, n_hot, row, sm_scale)
-            attn = merge_attention(out1, m1, l1, out2, m2, l2).reshape(
-                b, shard_cfg.num_heads * dh
-            )
+            attn = paged_ring_decode_attention(
+                q, pg, page_table, flushed_new, hot_l, n_hot, row,
+            ).reshape(b, shard_cfg.num_heads * dh)
             x = local_moe(x, attn, lp, my)
 
         hidden = rmsnorm(x, local.final_norm, cfg.norm_eps)

@@ -122,6 +122,14 @@ def shard_serving_params(
             wo=put_w(_stack([_shard_cols(lp.wo, tp, i) for i in range(tp)])),
             wgateup=put_w(_stack([_shard_gateup(lp.wgateup, tp, i) for i in range(tp)])),
             wdown=put_w(_stack([_shard_cols(lp.wdown, tp, i) for i in range(tp)])),
+            ln_attn_g=(
+                None if lp.ln_attn_g is None
+                else jax.device_put(lp.ln_attn_g, rep)
+            ),
+            ln_mlp_g=(
+                None if lp.ln_mlp_g is None
+                else jax.device_put(lp.ln_mlp_g, rep)
+            ),
         ))
     return ServingParams(
         embed=jax.device_put(params.embed, rep),
@@ -226,6 +234,8 @@ def make_tp_step_fns(
             lp._replace(
                 ln_attn=P(), ln_mlp=P(),
                 attn_reorder=P(), o_reorder=P(), mlp_reorder=P(),
+                ln_attn_g=None if lp.ln_attn_g is None else P(),
+                ln_mlp_g=None if lp.ln_mlp_g is None else P(),
             )
             for lp in w_spec.layers
         ],

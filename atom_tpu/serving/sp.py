@@ -240,6 +240,8 @@ def make_sp_tp_prefill_fn(
             lp._replace(
                 ln_attn=P(), ln_mlp=P(),
                 attn_reorder=P(), o_reorder=P(), mlp_reorder=P(),
+                ln_attn_g=None if lp.ln_attn_g is None else P(),
+                ln_mlp_g=None if lp.ln_mlp_g is None else P(),
             )
             for lp in w_spec.layers
         ],

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Validate + time the fused-MLP kernel on real hardware (7B geometry).
+
+Compares the full per-layer MLP block replacement at decode batch 32:
+
+  unfused:  rmsnorm_reorder_quant -> gateup GEMM -> silu*mul -> quant
+            -> down GEMM -> residual       (2 kernels + 2 XLA quant chains)
+  fused:    rmsnorm -> reorder gather -> fused_mlp_packed   (1 kernel)
+
+Parity is allclose + rounding-flip fraction (SiLU may differ by 1 ulp between
+the Mosaic and XLA lowerings — tests/test_pallas_mlp.py documents this).
+
+    python scripts/ab_fused_mlp.py [--d 4096 --inter 11008 --m 32]
+"""
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from atom_tpu.config import ATOM_W4A4
+from atom_tpu.ops import reference as R
+from atom_tpu.ops.formats import (
+    pack_for_kernel,
+    quantize_activation_packed,
+    quantize_weight_packed,
+)
+from atom_tpu.ops.pallas_gemm_packed import quant_gemm_packed
+from atom_tpu.ops.pallas_mlp import fused_mlp_packed, fused_mlp_supported
+from atom_tpu.utils.timing import bench_op
+
+SPEC = ATOM_W4A4
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d", type=int, default=4096)
+    ap.add_argument("--inter", type=int, default=11008)
+    ap.add_argument("--m", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+    d, inter, m = args.d, args.inter, args.m
+    assert fused_mlp_supported(d, inter, 128, 128)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    gu = pack_for_kernel(quantize_weight_packed(
+        jax.random.normal(ks[0], (d, 2 * inter), jnp.float32) * 0.03, SPEC))
+    dn = pack_for_kernel(quantize_weight_packed(
+        jax.random.normal(ks[1], (inter, d), jnp.float32) * 0.03, SPEC))
+    x = (jax.random.normal(ks[2], (m, d), jnp.float32) * 0.5).astype(
+        jnp.bfloat16)
+    ln_w = 1.0 + 0.1 * jax.random.normal(ks[3], (d,), jnp.float32)
+    ridx = jax.random.permutation(ks[4], d).astype(jnp.int32)
+
+    def unfused(x_):
+        m_in = R.rmsnorm_reorder_quant(x_, ln_w, ridx, SPEC)
+        g_ = quant_gemm_packed(m_in, gu, out_dtype=jnp.float32)
+        act = jax.nn.silu(g_[:, :inter]) * g_[:, inter:]
+        d_in = quantize_activation_packed(act, SPEC)
+        return x_ + quant_gemm_packed(d_in, dn)
+
+    def fused(x_):
+        y = jnp.take(R.rmsnorm(x_, ln_w, 1e-5), ridx, axis=-1)
+        return fused_mlp_packed(
+            y, x_, gu, dn, abits=SPEC.abits, a_clip=SPEC.a_clip_ratio)
+
+    t0 = time.time()
+    want = np.asarray(jax.jit(unfused)(x), np.float32)
+    print(f"unfused compiled in {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    got = np.asarray(jax.jit(fused)(x), np.float32)
+    print(f"fused compiled in {time.time()-t0:.0f}s", flush=True)
+
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=1.0)
+    # sparse-damage bound (tests/test_pallas_mlp.py): a flipped act code
+    # perturbs its whole output row at tiny magnitude — bound the fraction
+    # of elements moved beyond flip noise, not raw inequality.
+    diff = np.abs(got - want)
+    moved = np.mean(diff > (0.1 + 0.02 * np.abs(want)))
+    print(f"parity OK ({np.mean(got != want):.4%} elements touched, "
+          f"{moved:.4%} beyond flip noise, max diff {diff.max():.3f})",
+          flush=True)
+    if moved >= 0.02:
+        raise SystemExit("moved fraction above the 2% documented bound")
+
+    xf = x.astype(jnp.float32)  # perturbable float arg for bench_op
+
+    t_u = bench_op(lambda v: unfused(v.astype(jnp.bfloat16)), [xf],
+                   iters=args.iters)
+    t_f = bench_op(lambda v: fused(v.astype(jnp.bfloat16)), [xf],
+                   iters=args.iters)
+    w_bytes = (d // 2) * 2 * inter + (inter // 2) * d  # 4-bit weight stream
+    print(f"unfused MLP block: {t_u*1e6:7.1f} us "
+          f"({w_bytes/t_u/1e9:6.1f} GB/s weight stream)")
+    print(f"fused MLP kernel:  {t_f*1e6:7.1f} us "
+          f"({w_bytes/t_f/1e9:6.1f} GB/s weight stream)")
+    print(f"saved: {1e6*(t_u-t_f):+.1f} us/layer "
+          f"(x32 layers = {32e3*(t_u-t_f):+.2f} ms/step)", flush=True)
+
+    # ---- fused-in o_proj (quant prologue + GEMM + residual) --------------
+    from atom_tpu.ops.pallas_gemm_packed import packed_w4_gemm_fused_in
+
+    n_q = d  # 7B: o_proj is [n_q, d] with n_q == d
+    wo = pack_for_kernel(quantize_weight_packed(
+        jax.random.normal(ks[5], (n_q, d), jnp.float32) * 0.03, SPEC))
+    attn = (jax.random.normal(ks[4], (m, n_q), jnp.float32) * 0.5).astype(
+        jnp.bfloat16)
+    oidx = jax.random.permutation(jax.random.PRNGKey(1), n_q).astype(
+        jnp.int32)
+
+    def o_unfused(v):
+        a_in = R.reorder_quant(v.astype(jnp.bfloat16), oidx, SPEC)
+        return x + quant_gemm_packed(a_in, wo)
+
+    def o_fused(v):
+        ao = jnp.take(v.astype(jnp.bfloat16), oidx, axis=-1)
+        return packed_w4_gemm_fused_in(
+            ao, wo, resid=x, abits=SPEC.abits, a_clip=SPEC.a_clip_ratio)
+
+    af = attn.astype(jnp.float32)
+    t_ou = bench_op(o_unfused, [af], iters=args.iters)
+    t_of = bench_op(o_fused, [af], iters=args.iters)
+    print(f"unfused o_proj chain: {t_ou*1e6:7.1f} us")
+    print(f"fused-in o_proj:      {t_of*1e6:7.1f} us  "
+          f"(saved {1e6*(t_ou-t_of):+.1f} us/layer)", flush=True)
+
+    # ---- fused qkv ring (norm + quant prologue) --------------------------
+    from atom_tpu.ops.kv_hot import make_hot, write_hot
+    from atom_tpu.ops.pallas_gemm_packed import (
+        assemble_activation,
+        packed_w4_gemm_qkv,
+        packed_w4_gemm_qkv_ring,
+        packed_w4_gemm_qkv_ring_fused,
+    )
+    from atom_tpu.ops.reference import KVQuant
+
+    dh, n_kv = 128, d
+    wqkv = pack_for_kernel(quantize_weight_packed(
+        jax.random.normal(ks[3], (d, n_q + 2 * n_kv), jnp.float32) * 0.03,
+        SPEC))
+    sw = jnp.concatenate([wqkv.body_scale, wqkv.keeper_scale[None, :]],
+                         axis=0)
+    cos = jax.random.uniform(jax.random.PRNGKey(2), (m, dh), jnp.float32,
+                             -1, 1)
+    sin = jax.random.uniform(jax.random.PRNGKey(3), (m, dh), jnp.float32,
+                             -1, 1)
+    hot = make_hot(m, n_kv // dh, dh)
+    row = jnp.int32(5)
+
+    def qkv_unfused(v):
+        h_in = R.rmsnorm_reorder_quant(
+            v.astype(jnp.bfloat16), ln_w.astype(jnp.bfloat16), ridx, SPEC)
+        a, sa = assemble_activation(h_in)
+        return packed_w4_gemm_qkv_ring(
+            a, wqkv.body_packed, wqkv.keeper, sa, sw, cos, sin,
+            hot.k_codes, hot.prm, hot.v_codes, row,
+            n_q=n_q, n_kv=n_kv, head_dim=dh)
+
+    wg = jnp.take(ln_w.astype(jnp.bfloat16), ridx)
+
+    def qkv_fused(v):
+        y_ = jnp.take(v.astype(jnp.bfloat16), ridx, axis=-1)
+        return packed_w4_gemm_qkv_ring_fused(
+            y_, wg, wqkv.body_packed, wqkv.keeper, sw, cos, sin,
+            hot.k_codes, hot.prm, hot.v_codes, row,
+            n_q=n_q, n_kv=n_kv, head_dim=dh,
+            abits=SPEC.abits, a_clip=SPEC.a_clip_ratio)
+
+    t_qu = bench_op(qkv_unfused, [xf], iters=args.iters)
+    t_qf = bench_op(qkv_fused, [xf], iters=args.iters)
+    print(f"qkv ring (int input + XLA norm/quant): {t_qu*1e6:7.1f} us")
+    print(f"qkv ring (fused norm+quant prologue):  {t_qf*1e6:7.1f} us  "
+          f"(saved {1e6*(t_qu-t_qf):+.1f} us/layer)")
+    total = (t_u - t_f) + (t_ou - t_of) + (t_qu - t_qf)
+    print(f"TOTAL fused-layer saving: {total*1e6:+.1f} us/layer "
+          f"(x32 = {32e3*total:+.2f} ms/step)")
+
+
+if __name__ == "__main__":
+    main()

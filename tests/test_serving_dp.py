@@ -24,7 +24,7 @@ CFG = ModelConfig(
     num_kv_heads=4,
     head_dim=128,
 )
-SPEC = QuantSpec(weight_channel_group=1)
+SPEC = QuantSpec(weight_channel_group=1, fused_serving=False)
 
 
 def _requests(n, seed=11):

@@ -33,7 +33,7 @@ CFG = ModelConfig(
     num_experts=4,
     num_experts_per_tok=2,
 )
-SPEC = QuantSpec(weight_channel_group=1)
+SPEC = QuantSpec(weight_channel_group=1, fused_serving=False)
 PAGE = 128
 EP = 2  # heads 4 -> 2/shard, kv 2 -> 1/shard, experts 4 -> 2/shard
 
@@ -175,3 +175,26 @@ def test_moe_routed_capacity_drop_semantics():
     # but outputs stay finite and the residual stream is preserved.
     assert np.isfinite(np.asarray(tight, np.float32)).all()
     assert not np.array_equal(np.asarray(full), np.asarray(tight))
+
+
+@pytest.mark.quick
+def test_moe_fused_experts_match_unfused():
+    """Fused per-expert kernels + fused-in o_proj (decode batch) match the
+    unfused chain up to quantization-boundary code flips (the in-kernel
+    f32 chains contract differently; see tests/test_pallas_fused_in.py)."""
+    from atom_tpu.serving.moe import _moe_mlp
+
+    fspec = SPEC.replace(fused_serving=True)
+    key = jax.random.PRNGKey(11)
+    b = 32
+    params = init_moe_serving_params(key, CFG, SPEC)
+    lp = params.layers[0]
+    x = jax.random.normal(key, (b, CFG.hidden_size), jnp.bfloat16)
+    attn = jax.random.normal(
+        jax.random.PRNGKey(12),
+        (b, CFG.num_heads * CFG.head_dim), jnp.float32,
+    ).astype(jnp.bfloat16) * 0.3
+
+    want = np.asarray(_moe_mlp(x, attn, lp, CFG, SPEC), np.float32)
+    got = np.asarray(_moe_mlp(x, attn, lp, CFG, fspec), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=0.5)

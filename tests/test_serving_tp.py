@@ -34,7 +34,7 @@ CFG = ModelConfig(
     num_kv_heads=8,
     head_dim=128,
 )
-SPEC = QuantSpec(weight_channel_group=1)
+SPEC = QuantSpec(weight_channel_group=1, fused_serving=False)
 PAGE = 128
 TP = 4
 
