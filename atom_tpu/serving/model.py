@@ -610,6 +610,7 @@ def causal_code_attention(
     sm_scale: float,
     row_pos: jnp.ndarray = None,  # int32 [Tq] global query positions
     key_block: int = 0,
+    kernel: bool = False,
 ) -> jnp.ndarray:
     """Causal affine-code attention -> attn [Tq, HQ*D] bf16.
 
@@ -627,6 +628,18 @@ def causal_code_attention(
     """
     tq, hq, dh = q.shape
     tk = kq.codes.shape[0]
+    if kernel and dh == 128:
+        # Pallas flash-prefill (``ops/pallas_prefill.py``): triangular
+        # blocked grid, bf16 score dots over raw codes, no GQA repeat.
+        # ``row_pos`` is contiguous by contract (offset + arange).
+        from atom_tpu.ops.pallas_prefill import flash_code_attention
+
+        off = jnp.int32(0) if row_pos is None else row_pos[0].astype(jnp.int32)
+        return flash_code_attention(
+            q.astype(jnp.bfloat16), kq.codes, kq.params, vq.codes, vq.params,
+            groups, sm_scale, row_offset=off,
+            offset_max=0 if row_pos is None else max(tk - tq, 0),
+        )
     if row_pos is None:
         row_pos = jnp.arange(tq)
     qf = q.astype(jnp.float32)
@@ -700,6 +713,10 @@ _NEG_INF_PREFILL = -1e30
 # prompts longer than this use the scanned (flash-style) prefill attention
 PREFILL_SCAN_THRESHOLD = 2048
 PREFILL_KEY_BLOCK = 1024
+# prompts longer than this use the Pallas flash-prefill kernel instead
+# (off by default until the queued hardware measurement picks the winner;
+# scripts/measure_prefill_longctx.py A/Bs all three paths)
+PREFILL_KERNEL_THRESHOLD = 10**9
 
 
 def prefill_hidden(
@@ -725,6 +742,7 @@ def prefill_hidden(
     positions = jnp.arange(t)
     cos, sin = rope_tables(positions, dh, cfg.rope_theta)  # [T, Dh]
     key_block = PREFILL_KEY_BLOCK if t > PREFILL_SCAN_THRESHOLD else 0
+    use_kernel = t > PREFILL_KERNEL_THRESHOLD and cfg.head_dim == 128
 
     new_pages = []
     for l, lp in enumerate(params.layers):
@@ -739,7 +757,8 @@ def prefill_hidden(
         # prefill predictions.  Past PREFILL_SCAN_THRESHOLD tokens this runs
         # the flash-style scanned path (no [H, T, T] materialization).
         attn = causal_code_attention(
-            q, kq, vq, groups, dh ** -0.5, key_block=key_block
+            q, kq, vq, groups, dh ** -0.5, key_block=key_block,
+            kernel=use_kernel,
         )
         if post_attn_fn is None:
             x = _post_attn(x, attn, lp, spec, gather)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(cfg, spec, t, key_block, n_iters=3):
+def measure(cfg, spec, t, key_block, n_iters=3, kernel=False):
     """Seconds per full prefill of t tokens through cfg.num_layers layers."""
     import atom_tpu.serving.model as SM
     from atom_tpu.ops.kv_layout import make_kv_pages_kernel
@@ -40,8 +40,10 @@ def measure(cfg, spec, t, key_block, n_iters=3):
 
     # monkey-select the attention path via the module thresholds
     old_thr, old_blk = SM.PREFILL_SCAN_THRESHOLD, SM.PREFILL_KEY_BLOCK
+    old_krn = SM.PREFILL_KERNEL_THRESHOLD
     SM.PREFILL_SCAN_THRESHOLD = 0 if key_block else 10**9
     SM.PREFILL_KEY_BLOCK = key_block or old_blk
+    SM.PREFILL_KERNEL_THRESHOLD = 0 if kernel else 10**9
 
     @jax.jit
     def run(ids, pages):
@@ -61,6 +63,7 @@ def measure(cfg, spec, t, key_block, n_iters=3):
             best = min(best, time.perf_counter() - t0)
     finally:
         SM.PREFILL_SCAN_THRESHOLD, SM.PREFILL_KEY_BLOCK = old_thr, old_blk
+        SM.PREFILL_KERNEL_THRESHOLD = old_krn
     return best
 
 
@@ -82,12 +85,17 @@ def main():
           f"(tok/s figures extrapolated to 32 layers)")
     for t in args.ctx:
         row = {"ctx": t}
-        for name, kb in (("one-pass", 0), ("scanned", args.key_block)):
+        variants = (
+            ("one-pass", 0, False),
+            ("scanned", args.key_block, False),
+            ("kernel", 0, True),
+        )
+        for name, kb, krn in variants:
             if name == "one-pass" and t > 4096:
                 row[name] = None  # [H,T,T] f32 scores: 8k = 8.6 GB/layer
                 continue
             try:
-                dt = measure(cfg, spec, t, kb)
+                dt = measure(cfg, spec, t, kb, kernel=krn)
                 row[name] = t / (dt * scale)
             except Exception as e:  # OOM etc.
                 print(f"  ctx {t} {name}: FAILED ({type(e).__name__})")
