@@ -68,10 +68,10 @@ def sp_prefill_hidden(
     positions = pos0 + jnp.arange(t_loc)
     cos, sin = rope_tables(positions, dh, cfg.rope_theta)
     t_full = sp * t_loc
-    from atom_tpu.serving.model import (
-        PREFILL_KEY_BLOCK, PREFILL_SCAN_THRESHOLD, causal_code_attention,
-    )
-    key_block = PREFILL_KEY_BLOCK if t_full > PREFILL_SCAN_THRESHOLD else 0
+    import atom_tpu.serving.model as _SM
+    from atom_tpu.serving.model import causal_code_attention
+    key_block = _SM.PREFILL_KEY_BLOCK if t_full > _SM.PREFILL_SCAN_THRESHOLD else 0
+    use_kernel = t_full > _SM.PREFILL_KERNEL_THRESHOLD and cfg.head_dim == 128
 
     new_pages = []
     for l, lp in enumerate(params.layers):
@@ -86,7 +86,7 @@ def sp_prefill_hidden(
         # past PREFILL_SCAN_THRESHOLD total tokens (no [H, T/sp, T] blowup)
         attn = causal_code_attention(
             q, kq_f, vq_f, groups, dh ** -0.5, row_pos=positions,
-            key_block=key_block,
+            key_block=key_block, kernel=use_kernel,
         )
         x = _post_attn(x, attn, lp, spec)
 
@@ -195,10 +195,14 @@ def make_sp_tp_prefill_fn(
         positions = pos0 + jnp.arange(t_loc)
         cos, sin = rope_tables(positions, dh, cfg.rope_theta)
         t_full = sp * t_loc
-        from atom_tpu.serving.model import (
-            PREFILL_KEY_BLOCK, PREFILL_SCAN_THRESHOLD, causal_code_attention,
+        import atom_tpu.serving.model as _SM
+        from atom_tpu.serving.model import causal_code_attention
+        key_block = (
+            _SM.PREFILL_KEY_BLOCK if t_full > _SM.PREFILL_SCAN_THRESHOLD else 0
         )
-        key_block = PREFILL_KEY_BLOCK if t_full > PREFILL_SCAN_THRESHOLD else 0
+        use_kernel = (
+            t_full > _SM.PREFILL_KERNEL_THRESHOLD and cfg.head_dim == 128
+        )
 
         new_pages = []
         for l, lp in enumerate(local.layers):
@@ -211,7 +215,7 @@ def make_sp_tp_prefill_fn(
             )
             attn = causal_code_attention(
                 q, kq_f, vq_f, groups, dh ** -0.5, row_pos=positions,
-                key_block=key_block,
+                key_block=key_block, kernel=use_kernel,
             )
             x = _post_attn(x, attn, lp, spec, gather=gather_tp)
         x = rmsnorm(x, local.final_norm, cfg.norm_eps)

@@ -218,3 +218,55 @@ def test_sp_tp_long_context_8k_prefill():
     assert int(state_b.flushed[0]) == t_true
     for a, b in zip(state_a.pages[0], state_b.pages[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sp_prefill_kernel_path_matches_single_chip(mesh):
+    """SP prefill routed through the Pallas flash-prefill kernel vs the
+    single-chip kernel path.
+
+    The kernel itself is bitwise row-independent (verified eagerly: shard
+    q rows + row_offset == the same rows of the full call, on this exact
+    data), and layer-0 pages are written from identical attention inputs —
+    those stay bitwise.  Deeper layers are NOT bitwise: XLA fuses the ops
+    around the kernel differently under shard_map vs plain jit (the
+    documented cross-program f32 reassociation), flipping rare
+    quantization-boundary KV codes (measured 0.03%).  Assert layer-0
+    bitwise + sparse flips deeper + same next token."""
+    import atom_tpu.serving.model as SM
+
+    params = init_serving_params(jax.random.PRNGKey(4), CFG, SPEC)
+    n_pages = 8
+    rng = np.random.Generator(np.random.PCG64(6))
+    prompt = rng.integers(1, CFG.vocab_size, 57).astype(np.int32)
+    bucket = 128
+    ids = np.zeros((bucket,), np.int32)
+    ids[: len(prompt)] = prompt
+    table_row = jnp.asarray([1, 2, 0, 0], jnp.int32)
+
+    old = SM.PREFILL_KERNEL_THRESHOLD
+    SM.PREFILL_KERNEL_THRESHOLD = 0
+    try:
+        state_a = make_serving_state(
+            CFG.num_layers, n_pages, 1, CFG.num_kv_heads, PAGE, CFG.head_dim
+        )
+        tok_a, state_a = prefill_step(
+            params, state_a, jnp.asarray(ids), table_row,
+            jnp.int32(len(prompt)), jnp.int32(0), CFG, SPEC,
+        )
+        state_b = make_serving_state(
+            CFG.num_layers, n_pages, 1, CFG.num_kv_heads, PAGE, CFG.head_dim
+        )
+        sp_prefill = make_sp_prefill_fn(params, CFG, SPEC, mesh)
+        tok_b, state_b = sp_prefill(
+            state_b, jnp.asarray(ids), table_row,
+            jnp.int32(len(prompt)), jnp.int32(0),
+        )
+    finally:
+        SM.PREFILL_KERNEL_THRESHOLD = old
+    assert int(tok_a) == int(tok_b)
+    for a, b in zip(state_a.pages[0], state_b.pages[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for l in range(1, CFG.num_layers):
+        for a, b in zip(state_a.pages[l], state_b.pages[l]):
+            neq = np.mean(np.asarray(a) != np.asarray(b))
+            assert neq < 0.005, f"layer {l}: {neq:.4%} codes flipped"
