@@ -394,4 +394,6 @@ class TextGenEngine:
         }
         if record:
             out["tokens"] = tokens
+            out["ttft_per_request"] = [float(s.ttft) for s in stats]
+            out["prompt_lens"] = [int(s.prompt_len) for s in stats]
         return out
