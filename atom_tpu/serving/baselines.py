@@ -11,8 +11,12 @@ ratio measures the quantization scheme, not a handicapped strawman.
 
   * bf16:  bf16 weights, bf16 dense GEMMs (MXU), bf16 KV.
   * W8A8:  per-output-channel INT8 weights, dynamic per-token INT8
-    activations, int8xint8->int32 MXU dots (XLA-native), bf16 KV — the
-    SmoothQuant recipe of ``punica-int8/punica/models/llama.py:51-82``.
+    activations, int8xint8->int32 MXU dots (XLA-native), int8 static-scale
+    KV — the SmoothQuant recipe of ``punica-int8/punica/models/
+    llama.py:51-82`` with the 8-bit KV pool its own bench uses
+    (``punica-int8/benchmarks/bench_textgen.py:95`` creates the KvPool at
+    torch.int8; fp8 decode kernels underneath — v5e has no fp8 datapath, so
+    int8 codes with a static scale are the TPU analog).
   * W4A16: weight-only group-128 INT4 via the Pallas nibble-plane GEMM with
     bf16 activations, bf16 KV — the AWQ recipe of ``punica-awq``.
 
