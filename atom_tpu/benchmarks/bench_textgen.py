@@ -187,7 +187,12 @@ def burst_throughput_baseline(cfg, batch, ctx, kind, n_steps=32):
     return _slope_tok_s(run, batch, n_steps)
 
 
-def engine_run(cfg, batch, n_requests, stack="w4a4"):
+def engine_run(cfg, batch, n_requests, stack="w4a4", sched="mixed"):
+    """``sched``: "mixed" gives w4a4 chunked-prefill scheduling (its
+    production mode); "serial" forces whole-prompt prefills for EVERY stack
+    so cross-stack engine ratios compare quantization schemes, not
+    schedulers (the baselines only have serial prefill, like the
+    reference's one-ragged-step stacks)."""
     from atom_tpu.serving import (
         KvPool, TextGenConfig, TextGenEngine, synth_requests,
     )
@@ -212,6 +217,8 @@ def engine_run(cfg, batch, n_requests, stack="w4a4"):
         )
         # mixed scheduling: prompts ride the decode batch in page chunks
         pre, dec, chunk_fn = make_mixed_step_fns(params, cfg, spec)
+        if sched == "serial":
+            chunk_fn = None
         step_fns = (pre, dec)
     else:
         from atom_tpu.serving.baselines import (
@@ -248,6 +255,9 @@ def main(argv=None):
                     help="lm_head precision for the w4a4 stack (w8a16 is the "
                          "production default; see test_w4a16_head_logits_delta)")
     ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--sched", choices=["mixed", "serial"], default="mixed",
+                    help="engine mode only: w4a4 prefill scheduling "
+                         "(serial = fair cross-stack comparison)")
     args = ap.parse_args(argv)
 
     cfg = model_cfg(args.model, args.layers)
@@ -257,7 +267,8 @@ def main(argv=None):
     if args.engine:
         for stack in args.stacks:
             print(f"--- engine: {stack} ---", flush=True)
-            res = engine_run(cfg, args.batch, args.requests, stack)
+            res = engine_run(cfg, args.batch, args.requests, stack,
+                             sched=args.sched)
             for k, v in res.items():
                 print(f"  {k}: {v}")
         return
