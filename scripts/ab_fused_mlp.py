@@ -120,6 +120,13 @@ def main():
             ao, wo, resid=x, abits=SPEC.abits, a_clip=SPEC.a_clip_ratio)
 
     af = attn.astype(jnp.float32)
+    ow = np.asarray(jax.jit(o_unfused)(af), np.float32)
+    og = np.asarray(jax.jit(o_fused)(af), np.float32)
+    np.testing.assert_allclose(og, ow, rtol=5e-2, atol=1.0)
+    omoved = np.mean(np.abs(og - ow) > (0.1 + 0.02 * np.abs(ow)))
+    print(f"o_proj parity OK ({omoved:.4%} beyond flip noise)", flush=True)
+    if omoved >= 0.02:
+        raise SystemExit("o_proj fused-in parity failed on hardware")
     t_ou = bench_op(o_unfused, [af], iters=args.iters)
     t_of = bench_op(o_fused, [af], iters=args.iters)
     print(f"unfused o_proj chain: {t_ou*1e6:7.1f} us")
@@ -168,6 +175,17 @@ def main():
             n_q=n_q, n_kv=n_kv, head_dim=dh,
             abits=SPEC.abits, a_clip=SPEC.a_clip_ratio)
 
+    qu = jax.jit(qkv_unfused)(xf)
+    qf_ = jax.jit(qkv_fused)(xf)
+    qg, qw = np.asarray(qf_[0], np.float32), np.asarray(qu[0], np.float32)
+    np.testing.assert_allclose(qg, qw, rtol=5e-2, atol=0.5)
+    for nm, a, b, bound in (("kc", qf_[1], qu[1], 0.999),
+                            ("kp", qf_[2], qu[2], 0.99),
+                            ("vc", qf_[3], qu[3], 0.999)):
+        same = float(np.mean(np.asarray(a) == np.asarray(b)))
+        print(f"qkv ring {nm}: {same:.4%} equal", flush=True)
+        if same <= bound:
+            raise SystemExit(f"qkv ring fused parity failed on hardware ({nm})")
     t_qu = bench_op(qkv_unfused, [xf], iters=args.iters)
     t_qf = bench_op(qkv_fused, [xf], iters=args.iters)
     print(f"qkv ring (int input + XLA norm/quant): {t_qu*1e6:7.1f} us")
