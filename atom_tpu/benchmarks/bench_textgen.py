@@ -141,6 +141,47 @@ def burst_throughput_moe(batch, ctx, n_steps=32, layers=8):
     return tok_s, per_window / HOT_W
 
 
+def burst_throughput_lora(cfg, batch, ctx, n_steps=32, rank=16):
+    """W4A4 + per-request LoRA decode burst (the reference's ``bench_lora.py``
+    scenario: every request carries a DISTINCT rank-r adapter, the worst case
+    for adapter traffic).  Reported next to the plain w4a4 row, the delta is
+    the cost of multi-tenant adapters on the quantized stack."""
+    from atom_tpu.ops.kv_hot import HOT_W
+    from atom_tpu.serving.kvpool import KvPool
+    from atom_tpu.serving.lora import init_llama_lora, lora_decode_burst
+    from atom_tpu.serving.model import init_serving_params, make_serving_state
+
+    spec = ATOM_W4A4
+    params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    lw = init_llama_lora(jax.random.PRNGKey(1), cfg, capacity=batch, rank=rank)
+    adapters = jnp.arange(batch, dtype=jnp.int32)
+    n_hi = max(n_steps // HOT_W, 2) + 2
+    total_steps = (2 + 3 * (2 + n_hi)) * HOT_W
+    page, maxp = 256, -(-(ctx + total_steps + 64) // 256)
+    pool = KvPool(cfg.num_layers, batch * maxp + 1, cfg.num_kv_heads, page,
+                  cfg.head_dim)
+    table = np.zeros((batch, maxp), np.int32)
+    for b in range(batch):
+        table[b] = np.asarray(pool.alloc(maxp), np.int32)
+    table = jnp.asarray(table)
+    state = [make_serving_state(
+        cfg.num_layers, batch * maxp + 1, batch, cfg.num_kv_heads, page,
+        cfg.head_dim,
+    )._replace(flushed=jnp.full((batch,), ctx, jnp.int32)),
+        jnp.ones((batch,), jnp.int32), jnp.full((batch,), ctx, jnp.int32)]
+
+    def run(n):  # n = ring WINDOWS of HOT_W steps (dispatch-free burst)
+        ids, st, lens = lora_decode_burst(
+            params, lw, state[0], state[1], table, state[2], jnp.int32(n),
+            adapters, cfg, spec,
+        )
+        state[0], state[1], state[2] = st, ids, lens
+        return float(jnp.sum(ids))
+
+    tok_s, per_window = _slope_tok_s(run, batch * HOT_W, n_hi)
+    return tok_s, per_window / HOT_W
+
+
 def _slope_tok_s(run, batch, n_hi):
     run(2)  # compile + warm
     best = 1e9
@@ -247,8 +288,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--stacks", nargs="*",
-                    choices=["w4a4", "bf16", "w8a8", "w4a16", "moe"],
+                    choices=["w4a4", "bf16", "w8a8", "w4a16", "moe", "lora"],
                     default=["w4a4", "bf16", "w8a8", "w4a16"])
+    ap.add_argument("--lora_rank", type=int, default=16)
     ap.add_argument("--engine", action="store_true")
     ap.add_argument("--head", choices=["bf16", "w8a16", "w4a16"],
                     default="w8a16",
@@ -284,6 +326,10 @@ def main(argv=None):
             tok_s, per_step = burst_throughput_moe(
                 args.batch, args.ctx, layers=args.layers
             )
+        elif stack == "lora":
+            tok_s, per_step = burst_throughput_lora(
+                cfg, args.batch, args.ctx, rank=args.lora_rank
+            )
         else:
             tok_s, per_step = burst_throughput_baseline(
                 cfg, args.batch, args.ctx, stack
@@ -298,6 +344,9 @@ def main(argv=None):
         for base in ("bf16", "w8a8", "w4a16"):
             if base in results:
                 print(f"w4a4 vs {base}: {results['w4a4']/results[base]:.2f}x")
+        if "lora" in results:
+            print(f"lora vs w4a4: {results['lora']/results['w4a4']:.2f}x "
+                  f"(multi-tenant adapter cost)")
 
 
 if __name__ == "__main__":

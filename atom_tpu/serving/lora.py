@@ -309,6 +309,43 @@ def lora_prefill_step(
     return jnp.argmax(logits).astype(jnp.int32), new_state
 
 
+def lora_decode_burst(
+    params: ServingParams,
+    lw: LlamaLora,
+    state: ServingState,
+    ids: jnp.ndarray,         # int32 [B]
+    page_table: jnp.ndarray,  # int32 [B, max_pages] — must pre-cover the burst
+    seq_lens: jnp.ndarray,    # int32 [B] — current lengths (EXCLUDING ids)
+    n_steps: jnp.ndarray,     # int32 scalar — number of W-step ring WINDOWS
+    adapters: jnp.ndarray,    # int32 [B] — per-slot adapter index
+    cfg: ModelConfig,
+    spec: QuantSpec,
+    scale: float = 1.0,
+):
+    """``decode_burst`` with per-request adapters: ``n_steps`` whole ring
+    windows in ONE compiled program, dispatch-free (the ``bench_lora.py``
+    measurement analog — the reference times its BGMV+GEMM decode step the
+    same way it times the base stack, ``benchmarks/bench_lora.py``)."""
+    w = state.hot[0].window
+
+    def step(carry, flush):
+        ids_, state_, lens_ = carry
+        new_lens = lens_ + 1
+        ids_, state_ = lora_decode_step(
+            params, lw, state_, ids_, page_table, new_lens, adapters,
+            cfg, spec, scale, flush=flush,
+        )
+        return ids_, state_, new_lens
+
+    def window(_, carry):
+        carry = jax.lax.fori_loop(
+            0, w - 1, lambda _i, c: step(c, False), carry
+        )
+        return step(carry, True)
+
+    return jax.lax.fori_loop(0, n_steps, window, (ids, state, seq_lens))
+
+
 def make_lora_step_fns(
     params: ServingParams,
     lw: LlamaLora,

@@ -240,6 +240,40 @@ def test_lora_engine_end_to_end():
         assert res0["tokens"][r][:2] == res_b["tokens"][r][:2]
 
 
+def test_lora_decode_burst_matches_step_loop():
+    """One compiled ``lora_decode_burst`` window == W host-driven
+    ``lora_decode_step`` calls (ids bitwise; the bench's dispatch-free path
+    computes the same thing it claims to time)."""
+    from atom_tpu.ops.kv_hot import HOT_W
+    from atom_tpu.serving.lora import lora_decode_burst
+
+    b, n_pages = 2, 12
+    lw = init_llama_lora(jax.random.PRNGKey(8), TINY, capacity=2, rank=8)
+    adapters = jnp.asarray([1, 0], jnp.int32)
+    table = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+    ids0 = jnp.asarray([3, 7], jnp.int32)
+    lens0 = jnp.asarray([5, 9], jnp.int32)
+
+    params, state = _mini_setup(b, n_pages)
+    state = state._replace(flushed=lens0)
+    ids_b, _, lens_b = lora_decode_burst(
+        params, lw, state, ids0, table, lens0, jnp.int32(1), adapters,
+        TINY, SPEC,
+    )
+
+    _, state = _mini_setup(b, n_pages)
+    state = state._replace(flushed=lens0)
+    ids_s, lens_s = ids0, lens0
+    for i in range(HOT_W):
+        lens_s = lens_s + 1
+        ids_s, state = lora_decode_step(
+            params, lw, state, ids_s, table, lens_s, adapters, TINY, SPEC,
+            1.0, flush=(i == HOT_W - 1),
+        )
+    np.testing.assert_array_equal(np.asarray(ids_b), np.asarray(ids_s))
+    np.testing.assert_array_equal(np.asarray(lens_b), np.asarray(lens_s))
+
+
 def test_lora_manager_alloc_load_free():
     lw = init_llama_lora(jax.random.PRNGKey(7), TINY, capacity=2, rank=4,
                          zero_b=True)
