@@ -141,11 +141,13 @@ def burst_throughput_moe(batch, ctx, n_steps=32, layers=8):
     return tok_s, per_window / HOT_W
 
 
-def burst_throughput_lora(cfg, batch, ctx, n_steps=32, rank=16):
+def burst_throughput_lora(cfg, batch, ctx, n_steps=32, rank=16, head="w8a16"):
     """W4A4 + per-request LoRA decode burst (the reference's ``bench_lora.py``
     scenario: every request carries a DISTINCT rank-r adapter, the worst case
     for adapter traffic).  Reported next to the plain w4a4 row, the delta is
-    the cost of multi-tenant adapters on the quantized stack."""
+    the cost of multi-tenant adapters on the quantized stack.  ``head`` must
+    match the w4a4 row's lm_head precision or the ratio conflates head cost
+    with adapter cost."""
     from atom_tpu.ops.kv_hot import HOT_W
     from atom_tpu.serving.kvpool import KvPool
     from atom_tpu.serving.lora import init_llama_lora, lora_decode_burst
@@ -153,6 +155,10 @@ def burst_throughput_lora(cfg, batch, ctx, n_steps=32, rank=16):
 
     spec = ATOM_W4A4
     params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+    if head != "bf16":
+        from atom_tpu.serving.model import quantize_lm_head
+
+        params = quantize_lm_head(params, bits=4 if head == "w4a16" else 8)
     lw = init_llama_lora(jax.random.PRNGKey(1), cfg, capacity=batch, rank=rank)
     adapters = jnp.arange(batch, dtype=jnp.int32)
     n_hi = max(n_steps // HOT_W, 2) + 2
@@ -237,6 +243,7 @@ def engine_run(cfg, batch, n_requests, stack="w4a4", sched="mixed"):
     from atom_tpu.serving import (
         KvPool, TextGenConfig, TextGenEngine, synth_requests,
     )
+    from atom_tpu.serving.workload import RequestSet
 
     tg = TextGenConfig(batch_size=batch, max_seq_len=1024, page_size=256,
                        prefill_buckets=(128, 256, 512))
@@ -244,7 +251,12 @@ def engine_run(cfg, batch, n_requests, stack="w4a4", sched="mixed"):
     pool = KvPool(
         cfg.num_layers, n_pool, cfg.num_kv_heads, tg.page_size, cfg.head_dim,
     )
+    if stack == "moe":
+        raise ValueError(
+            "engine mode has no moe stack (burst-only row); drop --engine"
+        )
     chunk_fn = None
+    lora = stack == "lora"
     if stack == "w4a4":
         from atom_tpu.serving.model import (
             init_serving_params, make_mixed_step_fns, make_serving_state,
@@ -261,6 +273,21 @@ def engine_run(cfg, batch, n_requests, stack="w4a4", sched="mixed"):
         if sched == "serial":
             chunk_fn = None
         step_fns = (pre, dec)
+    elif lora:
+        from atom_tpu.serving.lora import init_llama_lora, make_lora_step_fns
+        from atom_tpu.serving.model import (
+            init_serving_params, make_serving_state,
+        )
+
+        spec = ATOM_W4A4
+        params = init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+        lw = init_llama_lora(jax.random.PRNGKey(1), cfg, capacity=batch,
+                             rank=16)
+        state = make_serving_state(
+            cfg.num_layers, n_pool, batch, cfg.num_kv_heads, tg.page_size,
+            cfg.head_dim,
+        )
+        step_fns = make_lora_step_fns(params, lw, cfg, spec)
     else:
         from atom_tpu.serving.baselines import (
             init_bf16_params, init_w4a16_params, init_w8_params,
@@ -276,8 +303,14 @@ def engine_run(cfg, batch, n_requests, stack="w4a4", sched="mixed"):
             dtype=jnp.int8 if stack == "w8a8" else jnp.bfloat16,
         )
         step_fns = make_baseline_step_fns(params, cfg, stack)
-    engine = TextGenEngine(tg, pool, *step_fns, state, chunk_fn=chunk_fn)
+    engine = TextGenEngine(tg, pool, *step_fns, state, chunk_fn=chunk_fn,
+                           lora=lora)
     rs = synth_requests(n_requests, cfg.vocab_size, maxlen=900)
+    if lora:  # round-robin distinct adapters (the bench_lora scenario)
+        rs = RequestSet(
+            rs.prompt_lens, rs.output_lens, rs.prompts,
+            adapter_ids=(np.arange(len(rs)) % batch).astype(np.int32),
+        )
     return engine.run(rs, progress=True)
 
 
@@ -328,7 +361,7 @@ def main(argv=None):
             )
         elif stack == "lora":
             tok_s, per_step = burst_throughput_lora(
-                cfg, args.batch, args.ctx, rank=args.lora_rank
+                cfg, args.batch, args.ctx, rank=args.lora_rank, head=args.head
             )
         else:
             tok_s, per_step = burst_throughput_baseline(

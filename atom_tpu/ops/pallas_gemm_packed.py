@@ -1084,6 +1084,9 @@ def packed_w4_gemm_qkv_ring(
     assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
     assert k_codes.shape[0] == m, "ring batch must equal GEMM M (no padding)"
     assert m % 32 == 0, "decode batch must be sublane-aligned"
+    # grid = m // tm with tm = min(256, m): a non-multiple m > 256 would
+    # silently drop the tail rows (q uninitialized, ring columns stale)
+    assert m <= 256 or m % 256 == 0, "decode batch > 256 must be 256-aligned"
     n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
     hpt = tn // head_dim
     n_h = prm.shape[2]
@@ -1195,6 +1198,9 @@ def packed_w4_gemm_qkv_ring_fused(
     assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
     assert k_codes.shape[0] == m, "ring batch must equal GEMM M (no padding)"
     assert m % 32 == 0, "decode batch must be sublane-aligned"
+    # grid = m // tm with tm = min(256, m): a non-multiple m > 256 would
+    # silently drop the tail rows (q uninitialized, ring columns stale)
+    assert m <= 256 or m % 256 == 0, "decode batch > 256 must be 256-aligned"
     n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
     hpt = tn // head_dim
     n_h = prm.shape[2]

@@ -309,6 +309,11 @@ def lora_prefill_step(
     return jnp.argmax(logits).astype(jnp.int32), new_state
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "scale"),
+    donate_argnames=("state",),
+)
 def lora_decode_burst(
     params: ServingParams,
     lw: LlamaLora,

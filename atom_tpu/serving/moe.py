@@ -250,8 +250,9 @@ def _moe_mlp_routed(
         token overflows capacity).
 
     ``capacity`` >= ceil(T * k / E) * slack; tokens past an expert's
-    capacity are dropped from that expert (GShard-style).  The serving
-    default leaves ~4x headroom, where drops need a ~4x-unbalanced router.
+    capacity are dropped from that expert (GShard-style).  The default
+    ``slack=2.0`` (see ``_moe_capacity``) means drops need a >2x-unbalanced
+    router (slightly more after 128-alignment rounds capacity up).
     """
     g = gather or (lambda v: v)
     a_in = R.reorder_quant(g(attn_out), lp.o_reorder, spec)

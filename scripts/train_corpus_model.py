@@ -66,9 +66,17 @@ def main():
     print(f"eval: {ev:.4f} nats/byte = {ev/np.log(2):.3f} bits/byte "
           f"(byte-PPL {np.exp(ev):.3f})")
 
-    # store bf16 (the ladder evaluates from bf16, like HF fp16 checkpoints)
+    # store bf16-ROUNDED fp32 (the ladder evaluates from reduced-precision
+    # weights, like HF fp16 checkpoints; npz has no bf16 dtype so the values
+    # are rounded through bf16 and stored as fp32 carriers).
+    # NOTE: data/byte_lm_ckpt.npz predates this rounding (it is plain fp32);
+    # all committed ladder rows use that checkpoint consistently.
+    import jax.numpy as jnp
+
     params_bf16 = jax.tree_util.tree_map(
-        lambda x: np.asarray(x, np.float32) if x.dtype == np.float32 else np.asarray(x),
+        lambda x: np.asarray(
+            jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+        ) if np.asarray(x).dtype == np.float32 else np.asarray(x),
         jax.device_get(params),
     )
     save_pytree(args.out, params_bf16)

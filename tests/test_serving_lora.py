@@ -255,7 +255,8 @@ def test_lora_decode_burst_matches_step_loop():
     lens0 = jnp.asarray([5, 9], jnp.int32)
 
     params, state = _mini_setup(b, n_pages)
-    state = state._replace(flushed=lens0)
+    # donated state must not alias seq_lens (flushed gets its own buffer)
+    state = state._replace(flushed=jnp.asarray([5, 9], jnp.int32))
     ids_b, _, lens_b = lora_decode_burst(
         params, lw, state, ids0, table, lens0, jnp.int32(1), adapters,
         TINY, SPEC,
