@@ -111,11 +111,39 @@ def bench_decode(quick: bool):
         row(f"paged_decode_attn B={B} H={H} ctx={ctx}", dt, kv_bytes)
 
 
+def bench_lora(quick: bool):
+    """Per-request adapter gather+einsum — the BGMV op analog
+    (``punica/ops/__init__.py:90-110``, ``benchmarks/bench_ops.py``).
+    Bytes = the B gathered [r, d_in] + [d_out, r] adapter blocks (bf16),
+    identical to what the CUDA BGMV kernel streams."""
+    from atom_tpu.models.configs import Arch, ModelConfig
+    from atom_tpu.serving.lora import add_lora, init_llama_lora
+
+    cfg = ModelConfig(
+        arch=Arch.LLAMA, vocab_size=32000, hidden_size=4096,
+        intermediate_size=11008, num_layers=1, num_heads=32,
+        num_kv_heads=32, head_dim=128,
+    )
+    key = jax.random.PRNGKey(3)
+    b = 32
+    ranks = (16,) if quick else (8, 16, 64)
+    for r in ranks:
+        lw = init_llama_lora(key, cfg, capacity=b, rank=r)
+        idx = jnp.arange(b, dtype=jnp.int32)  # distinct adapter per request
+        x = jax.random.normal(key, (b, 4096), jnp.float32)
+        dt = bench_op(
+            lambda x_: add_lora(x_, lw.q, idx, layer=0, scale=1.0), [x],
+            iters=50,
+        )
+        bytes_ = b * r * (4096 + 4096) * 2  # wa + wb bf16 gathers
+        row(f"add_lora B={b} r={r} d=4096->4096", dt, bytes_)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument(
-        "--only", choices=["gemm", "epilogue", "decode"], default=None
+        "--only", choices=["gemm", "epilogue", "decode", "lora"], default=None
     )
     args = ap.parse_args(argv)
     print(f"devices: {jax.devices()}")
@@ -125,6 +153,8 @@ def main(argv=None):
         bench_epilogues(args.quick)
     if args.only in (None, "decode"):
         bench_decode(args.quick)
+    if args.only in (None, "lora"):
+        bench_lora(args.quick)
 
 
 if __name__ == "__main__":

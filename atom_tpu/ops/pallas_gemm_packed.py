@@ -469,23 +469,8 @@ def _gemm_fused_in_kernel(
             ngy=ng, abits=abits, a_clip=a_clip, eps=eps,
         )
 
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for g in range(ng):
-        w_lo, w_hi = _unpack_nibbles(wp_ref[g * HALF : (g + 1) * HALF, :])
-        a_lo = qy_ref[:, g * GROUP : g * GROUP + HALF]
-        a_hi = qy_ref[:, g * GROUP + HALF : (g + 1) * GROUP]
-        acc_g = _DOT_I32(a_lo, w_lo) + _DOT_I32(a_hi, w_hi)
-        acc += (
-            acc_g.astype(jnp.float32)
-            * qs_ref[:, g : g + 1]
-            * sw_ref[g : g + 1, :]
-        )
-    acc_k = _DOT_I32(qy_ref[:, ng * GROUP : (ng + 1) * GROUP], wk_ref[:])
-    acc += (
-        acc_k.astype(jnp.float32)
-        * qs_ref[:, ng : ng + 1]
-        * sw_ref[ng : ng + 1, :]
-    )
+    acc = _acc_body_keeper(qy_ref, qs_ref, wp_ref, wk_ref, sw_ref,
+                           out_ref.shape, ng)
     if resid_ref is not None:
         out_ref[:] = resid_ref[:] + acc.astype(out_ref.dtype)
     else:
@@ -1044,6 +1029,80 @@ def _gemm_qkv_ring_fused_kernel(
     )
 
 
+def _qkv_ring_pallas_call(
+    kernel, gemm_specs, gemm_args, *, m, n_q, n_kv, tn, head_dim,
+    cos, sin, k_codes, prm, v_codes, row, scratch_shapes=None,
+    interpret=False,
+):
+    """Shared plumbing for the qkv->hot-ring GEMM variants: geometry checks,
+    the ring block specs (k / prm / v regions keyed off the column-tile
+    index), the aliased ring outputs, and the grid.  ``gemm_specs`` /
+    ``gemm_args`` are the variant's activation+weight inputs (exactly five,
+    so the hard-coded ring alias indices below stay valid)."""
+    n = n_q + 2 * n_kv
+    assert len(gemm_specs) == 5 and len(gemm_args) == 5
+    assert k_codes.shape[0] == m, "ring batch must equal GEMM M (no padding)"
+    assert m % 32 == 0, "decode batch must be sublane-aligned"
+    # grid = m // tm with tm = min(256, m): a non-multiple m > 256 would
+    # silently drop the tail rows (q uninitialized, ring columns stale)
+    assert m <= 256 or m % 256 == 0, "decode batch > 256 must be 256-aligned"
+    n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
+    hpt = tn // head_dim
+    n_h = prm.shape[2]
+    w_ring = k_codes.shape[3]
+    assert w_ring % 8 == 0, "ring window must be 8-row blockable"
+    tm = min(256, m)
+    n_tiles = n // tn
+
+    def kc_map(i, j, row_ref):
+        return (i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), 0, 0)
+
+    def vc_map(i, j, row_ref):
+        return (
+            i, jnp.clip(j - n_q_tiles - n_k_tiles, 0, n_k_tiles - 1),
+            row_ref[0] // 8, 0,
+        )
+
+    kc_spec = pl.BlockSpec((tm, hpt, head_dim // 2, w_ring), kc_map)
+    prm_spec = pl.BlockSpec((tm, 4, n_h, w_ring), lambda i, j, r: (i, 0, 0, 0))
+    vc_spec = pl.BlockSpec((tm, hpt, 8, head_dim), vc_map)
+
+    grid_kwargs = dict(
+        num_scalar_prefetch=1,
+        grid=(m // tm, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
+            pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
+            *gemm_specs,
+            kc_spec, prm_spec, vc_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j, r: (i, jnp.minimum(j, n_q_tiles - 1))),
+            kc_spec, prm_spec, vc_spec,
+        ],
+    )
+    if scratch_shapes is not None:
+        grid_kwargs["scratch_shapes"] = scratch_shapes
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(**grid_kwargs),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n_q), jnp.bfloat16),
+            jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
+            jax.ShapeDtypeStruct(prm.shape, jnp.bfloat16),
+            jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
+        ],
+        # ring inputs are 8..10 (after 1 prefetch + 7 GEMM inputs), outputs 1..3
+        input_output_aliases={8: 1, 9: 2, 10: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(row, jnp.int32).reshape(1), cos, sin, *gemm_args,
+      k_codes, prm, v_codes)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_q", "n_kv", "head_dim", "tile_n", "interpret"),
@@ -1082,74 +1141,29 @@ def packed_w4_gemm_qkv_ring(
     ng = kb // GROUP
     tn = tile_n
     assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
-    assert k_codes.shape[0] == m, "ring batch must equal GEMM M (no padding)"
-    assert m % 32 == 0, "decode batch must be sublane-aligned"
-    # grid = m // tm with tm = min(256, m): a non-multiple m > 256 would
-    # silently drop the tail rows (q uninitialized, ring columns stale)
-    assert m <= 256 or m % 256 == 0, "decode batch > 256 must be 256-aligned"
-    n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
-    hpt = tn // head_dim
-    n_h = prm.shape[2]
-    w_ring = k_codes.shape[3]
-    assert w_ring % 8 == 0, "ring window must be 8-row blockable"
     tm = min(256, m)
 
     kernel = functools.partial(
         _gemm_qkv_ring_kernel,
         ng=ng,
         head_dim=head_dim,
-        n_q_tiles=n_q_tiles,
-        n_k_tiles=n_k_tiles,
+        n_q_tiles=n_q // tn,
+        n_k_tiles=n_kv // tn,
     )
-    n_tiles = n // tn
-
-    def kc_map(i, j, row_ref):
-        return (i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), 0, 0)
-
-    def vc_map(i, j, row_ref):
-        return (
-            i, jnp.clip(j - n_q_tiles - n_k_tiles, 0, n_k_tiles - 1),
-            row_ref[0] // 8, 0,
-        )
-
-    kc_spec = pl.BlockSpec((tm, hpt, head_dim // 2, w_ring), kc_map)
-    prm_spec = pl.BlockSpec((tm, 4, n_h, w_ring), lambda i, j, r: (i, 0, 0, 0))
-    vc_spec = pl.BlockSpec((tm, hpt, 8, head_dim), vc_map)
-
-    q, kc, pr, vc = pl.pallas_call(
+    q, kc, pr, vc = _qkv_ring_pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(m // tm, n_tiles),
-            in_specs=[
-                pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
-                pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
-                pl.BlockSpec((tm, ktot), lambda i, j, r: (i, 0)),
-                pl.BlockSpec((kb // 2, tn), lambda i, j, r: (0, j)),
-                pl.BlockSpec((GROUP, tn), lambda i, j, r: (0, j)),
-                pl.BlockSpec((tm, ng + 1), lambda i, j, r: (i, 0)),
-                pl.BlockSpec((ng + 1, tn), lambda i, j, r: (0, j)),
-                kc_spec, prm_spec, vc_spec,
-            ],
-            out_specs=[
-                pl.BlockSpec((tm, tn), lambda i, j, r: (i, jnp.minimum(j, n_q_tiles - 1))),
-                kc_spec, prm_spec, vc_spec,
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((m, n_q), jnp.bfloat16),
-            jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
-            jax.ShapeDtypeStruct(prm.shape, jnp.bfloat16),
-            jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
+        gemm_specs=[
+            pl.BlockSpec((tm, ktot), lambda i, j, r: (i, 0)),
+            pl.BlockSpec((kb // 2, tn), lambda i, j, r: (0, j)),
+            pl.BlockSpec((GROUP, tn), lambda i, j, r: (0, j)),
+            pl.BlockSpec((tm, ng + 1), lambda i, j, r: (i, 0)),
+            pl.BlockSpec((ng + 1, tn), lambda i, j, r: (0, j)),
         ],
-        # ring inputs are 8..10 (after 1 prefetch + 7 GEMM inputs), outputs 1..3
-        input_output_aliases={8: 1, 9: 2, 10: 3},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(jnp.asarray(row, jnp.int32).reshape(1), cos, sin, a, wp, wk, sa, sw,
-      k_codes, prm, v_codes)
+        gemm_args=[a, wp, wk, sa, sw],
+        m=m, n_q=n_q, n_kv=n_kv, tn=tn, head_dim=head_dim,
+        cos=cos, sin=sin, k_codes=k_codes, prm=prm, v_codes=v_codes,
+        row=row, interpret=interpret,
+    )
     return q, kc, pr, vc
 
 
@@ -1196,80 +1210,35 @@ def packed_w4_gemm_qkv_ring_fused(
     ng = kb // GROUP
     tn = tile_n
     assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
-    assert k_codes.shape[0] == m, "ring batch must equal GEMM M (no padding)"
-    assert m % 32 == 0, "decode batch must be sublane-aligned"
-    # grid = m // tm with tm = min(256, m): a non-multiple m > 256 would
-    # silently drop the tail rows (q uninitialized, ring columns stale)
-    assert m <= 256 or m % 256 == 0, "decode batch > 256 must be 256-aligned"
-    n_q_tiles, n_k_tiles = n_q // tn, n_kv // tn
-    hpt = tn // head_dim
-    n_h = prm.shape[2]
-    w_ring = k_codes.shape[3]
-    assert w_ring % 8 == 0, "ring window must be 8-row blockable"
     tm = min(256, m)
 
     kernel = functools.partial(
         _gemm_qkv_ring_fused_kernel,
         ng=ng,
         head_dim=head_dim,
-        n_q_tiles=n_q_tiles,
-        n_k_tiles=n_k_tiles,
+        n_q_tiles=n_q // tn,
+        n_k_tiles=n_kv // tn,
         abits=abits,
         a_clip=a_clip,
         eps=eps,
     )
-    n_tiles = n // tn
-
-    def kc_map(i, j, row_ref):
-        return (i, jnp.clip(j - n_q_tiles, 0, n_k_tiles - 1), 0, 0)
-
-    def vc_map(i, j, row_ref):
-        return (
-            i, jnp.clip(j - n_q_tiles - n_k_tiles, 0, n_k_tiles - 1),
-            row_ref[0] // 8, 0,
-        )
-
-    kc_spec = pl.BlockSpec((tm, hpt, head_dim // 2, w_ring), kc_map)
-    prm_spec = pl.BlockSpec((tm, 4, n_h, w_ring), lambda i, j, r: (i, 0, 0, 0))
-    vc_spec = pl.BlockSpec((tm, hpt, 8, head_dim), vc_map)
-
-    q, kc, pr, vc = pl.pallas_call(
+    q, kc, pr, vc = _qkv_ring_pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(m // tm, n_tiles),
-            in_specs=[
-                pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
-                pl.BlockSpec((tm, head_dim), lambda i, j, r: (i, 0)),
-                pl.BlockSpec((tm, ktot), lambda i, j, r: (i, 0)),
-                pl.BlockSpec((1, ktot), lambda i, j, r: (0, 0)),
-                pl.BlockSpec((kb // 2, tn), lambda i, j, r: (0, j)),
-                pl.BlockSpec((GROUP, tn), lambda i, j, r: (0, j)),
-                pl.BlockSpec((ng + 1, tn), lambda i, j, r: (0, j)),
-                kc_spec, prm_spec, vc_spec,
-            ],
-            out_specs=[
-                pl.BlockSpec((tm, tn), lambda i, j, r: (i, jnp.minimum(j, n_q_tiles - 1))),
-                kc_spec, prm_spec, vc_spec,
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((tm, ktot), jnp.int8),
-                pltpu.VMEM((tm, 128), jnp.float32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((m, n_q), jnp.bfloat16),
-            jax.ShapeDtypeStruct(k_codes.shape, jnp.int8),
-            jax.ShapeDtypeStruct(prm.shape, jnp.bfloat16),
-            jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
+        gemm_specs=[
+            pl.BlockSpec((tm, ktot), lambda i, j, r: (i, 0)),
+            pl.BlockSpec((1, ktot), lambda i, j, r: (0, 0)),
+            pl.BlockSpec((kb // 2, tn), lambda i, j, r: (0, j)),
+            pl.BlockSpec((GROUP, tn), lambda i, j, r: (0, j)),
+            pl.BlockSpec((ng + 1, tn), lambda i, j, r: (0, j)),
         ],
-        # ring inputs are 8..10 (after 1 prefetch + 7 GEMM inputs), outputs 1..3
-        input_output_aliases={8: 1, 9: 2, 10: 3},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        gemm_args=[y, norm_w.reshape(1, ktot), wp, wk, sw],
+        m=m, n_q=n_q, n_kv=n_kv, tn=tn, head_dim=head_dim,
+        cos=cos, sin=sin, k_codes=k_codes, prm=prm, v_codes=v_codes,
+        row=row,
+        scratch_shapes=[
+            pltpu.VMEM((tm, ktot), jnp.int8),
+            pltpu.VMEM((tm, 128), jnp.float32),
+        ],
         interpret=interpret,
-    )(jnp.asarray(row, jnp.int32).reshape(1), cos, sin, y,
-      norm_w.reshape(1, ktot), wp, wk, sw,
-      k_codes, prm, v_codes)
+    )
     return q, kc, pr, vc
