@@ -45,6 +45,16 @@ FlashInfer fork (``BatchDecodeWithPagedKVCacheKernel``,
 
 Grid: (batch, kv-head blocks, pages), pages innermost.  GQA handled by laying
 q out kv-head-major: q[:, h*G:(h+1)*G, :] are the queries of kv head ``h``.
+
+No split-KV ("cooperative") variant by design: the reference's
+``SingleDecodeWithKVCacheKernel`` (``decode.cuh:241-243`` + grid-sync state
+merge) splits one long sequence across SMs because a single GPU block can't
+occupy the chip.  A v5e TensorCore has no occupancy analog — the page grid
+here already streams every page through the same DMA pipeline back-to-back
+(Mosaic's revolving pipeline prefetches across grid steps), so a split would
+add merge work without adding bandwidth.  On Megacore parts (v4/v5p) the
+``parallel`` batch axis gives the two cores independent sequences; the
+multi-chip long-sequence story is sequence parallelism (``serving/sp.py``).
 """
 from __future__ import annotations
 
