@@ -22,12 +22,16 @@ Design (same conventions as ``pallas_decode``):
     zero`` — affine correction as two lane-wise multiply-adds.  V's dequant
     folds into the probability vector.
   * TRIANGULAR grid: the (query-block, key-block) pairs below the causal
-    diagonal are enumerated host-side and drive the BlockSpec index maps
-    through scalar prefetch — masked-out key blocks are never DMA'd at all
-    (the CUDA analog iterates ``chunk_start .. chunk_end``,
-    ``prefill.cuh:210-250``).  Online softmax state lives in VMEM scratch
-    across each key-block run; the output block is written on the run's
-    last step.
+    diagonal are enumerated host-side FOR THE LARGEST runtime offset the
+    compile serves and drive the BlockSpec index maps through scalar
+    prefetch (the CUDA analog iterates ``chunk_start .. chunk_end``,
+    ``prefill.cuh:210-250``).  At a smaller runtime offset (SP shards
+    share one compile) the tail pairs of each run clamp their K/V index
+    maps to the last visible block — Mosaic's revisiting pipeline skips
+    the repeated DMA — and skip their compute under ``pl.when``; fully
+    masked key blocks therefore cost neither bandwidth nor FLOPs at any
+    offset.  Online softmax state lives in VMEM scratch across each
+    key-block run; the output block is written on the run's last step.
   * GQA: grid axis 0 is the QUERY head; index maps divide by ``groups`` so
     sibling query heads re-read the same K/V blocks (Mosaic's revisiting
     pipeline keeps them in VMEM across consecutive steps of the same head).
@@ -79,42 +83,50 @@ def _prefill_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # [tq_blk, D] bf16
-    raw = jax.lax.dot_general(
-        q, kc_ref[0].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [tq_blk, tk_blk] — exact: u4 codes x bf16 q
-    q_sum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
-    k_scale = kp_ref[0, 0:1, :]  # [1, tk_blk]
-    k_zero = kp_ref[0, 1:2, :]
-    scores = (raw * k_scale + q_sum * k_zero) * sm_scale
+    # Pairs are enumerated for offset_max (the largest runtime offset the
+    # compile serves); at a SMALLER runtime offset the tail key blocks of a
+    # run are fully masked.  Their math is an exact no-op (alpha=1, p=0), so
+    # skip the compute — the index maps clamp their DMAs away too.
+    visible = kb * tk_blk <= off_ref[0] + (qb_ref[i] + 1) * tq_blk - 1
 
-    row = (
-        off_ref[0] + qb_ref[i] * tq_blk
-        + jax.lax.broadcasted_iota(jnp.int32, (tq_blk, 1), 0)
-    )
-    col = kb * tk_blk + jax.lax.broadcasted_iota(
-        jnp.int32, (1, tk_blk), 1
-    )
-    scores = jnp.where(col <= row, scores, _NEG_INF)
+    @pl.when(visible)
+    def _process():
+        q = q_ref[0]  # [tq_blk, D] bf16
+        raw = jax.lax.dot_general(
+            q, kc_ref[0].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tq_blk, tk_blk] — exact: u4 codes x bf16 q
+        q_sum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+        k_scale = kp_ref[0, 0:1, :]  # [1, tk_blk]
+        k_zero = kp_ref[0, 1:2, :]
+        scores = (raw * k_scale + q_sum * k_zero) * sm_scale
 
-    m_prev = m_ref[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)  # masked cols underflow to 0
-    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        row = (
+            off_ref[0] + qb_ref[i] * tq_blk
+            + jax.lax.broadcasted_iota(jnp.int32, (tq_blk, 1), 0)
+        )
+        col = kb * tk_blk + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tk_blk), 1
+        )
+        scores = jnp.where(col <= row, scores, _NEG_INF)
 
-    pw = p * vp_ref[0, 0:1, :]  # fold v_scale into the probabilities
-    pv = jax.lax.dot_general(
-        pw, vc_ref[0].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [tq_blk, D]
-    z = jnp.sum(p * vp_ref[0, 1:2, :], axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + pv + z
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)  # masked cols underflow to 0
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        pw = p * vp_ref[0, 0:1, :]  # fold v_scale into the probabilities
+        pv = jax.lax.dot_general(
+            pw, vc_ref[0].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tq_blk, D]
+        z = jnp.sum(p * vp_ref[0, 1:2, :], axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + pv + z
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(last_ref[i] == 1)
     def _emit():
@@ -200,6 +212,16 @@ def flash_code_attention(
         _prefill_kernel, tq_blk=tq_blk, tk_blk=tk_blk, sm_scale=sm_scale,
     )
     kv_h = lambda h: h // groups  # noqa: E731
+
+    def kb_rt(i, qb, kb, off):
+        # Clamp to the last key block VISIBLE at the runtime offset: pairs
+        # past it (enumerated for offset_max) re-request the same block, so
+        # Mosaic's revisiting pipeline skips their DMAs, and the kernel
+        # skips their compute (see ``visible`` in _prefill_kernel).
+        return jnp.minimum(
+            kb[i], (off[0] + (qb[i] + 1) * tq_blk - 1) // tk_blk
+        )
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -212,19 +234,23 @@ def flash_code_attention(
                 ),
                 pl.BlockSpec(
                     (1, dh, tk_blk),
-                    lambda h, i, qb, kb, la, off: (kv_h(h), 0, kb[i]),
+                    lambda h, i, qb, kb, la, off: (
+                        kv_h(h), 0, kb_rt(i, qb, kb, off)),
                 ),
                 pl.BlockSpec(
                     (1, 2, tk_blk),
-                    lambda h, i, qb, kb, la, off: (kv_h(h), 0, kb[i]),
+                    lambda h, i, qb, kb, la, off: (
+                        kv_h(h), 0, kb_rt(i, qb, kb, off)),
                 ),
                 pl.BlockSpec(
                     (1, tk_blk, dh),
-                    lambda h, i, qb, kb, la, off: (kv_h(h), kb[i], 0),
+                    lambda h, i, qb, kb, la, off: (
+                        kv_h(h), kb_rt(i, qb, kb, off), 0),
                 ),
                 pl.BlockSpec(
                     (1, 2, tk_blk),
-                    lambda h, i, qb, kb, la, off: (kv_h(h), 0, kb[i]),
+                    lambda h, i, qb, kb, la, off: (
+                        kv_h(h), 0, kb_rt(i, qb, kb, off)),
                 ),
             ],
             out_specs=pl.BlockSpec(

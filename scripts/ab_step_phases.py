@@ -207,16 +207,27 @@ def main():
     timed("head", f_head, [x], 0, n=100)
 
     def f_embed(xx):
-        e = _embed_lookup(params.embed, ids)
-        c2, s2 = rope_tables(pos, dh, cfg.rope_theta)
-        return e + 0 * xx[:, :1], c2, s2
+        # indices derive from the perturbed input (+0 at runtime) so the
+        # gather and rope tables cannot be LICM-hoisted out of the loop
+        j = (xx[:, 0] * 1e-30).astype(jnp.int32)
+        e = _embed_lookup(params.embed, ids + j)
+        c2, s2 = rope_tables(pos + j, dh, cfg.rope_theta)
+        return e, c2, s2
     timed("embed", f_embed, [x], 0)
 
-    per_layer = (results["norm_q"] + results["qkv_ring"] + results["paged"]
-                 + results["hot_merge"] + results["postattn"])
+    # Production decode layer (round 3+) runs ONE merged paged+ring kernel;
+    # the split paged + hot_merge rows are the pre-round-3 layer, kept for
+    # the A/B.  (The in-kernel norm/quant prologues and the one-kernel MLP
+    # are timed separately in scripts/ab_fused_mlp.py.)
+    per_layer = (results["norm_q"] + results["qkv_ring"]
+                 + results["paged_ring"] + results["postattn"])
+    per_layer_split = (results["norm_q"] + results["qkv_ring"]
+                       + results["paged"] + results["hot_merge"]
+                       + results["postattn"])
     step = per_layer * 32 + results["head"] + results["embed"]
-    print(f"\nper-layer sum: {per_layer*1e6:.1f} us "
-          f"(x32 = {per_layer*32e3:.2f} ms)")
+    print(f"\nper-layer sum (merged attn, production): {per_layer*1e6:.1f} us "
+          f"(x32 = {per_layer*32e3:.2f} ms); "
+          f"split-attn layer: {per_layer_split*1e6:.1f} us")
     print(f"predicted step: {step*1e3:.2f} ms "
           f"-> {b/step:.0f} tok/s (bench.py measured 17.88 ms / 1789 tok/s)")
     print("unaccounted = measured - predicted = XLA stitching between phases")

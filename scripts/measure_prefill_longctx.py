@@ -45,26 +45,43 @@ def measure(cfg, spec, t, key_block, n_iters=3, kernel=False):
     SM.PREFILL_KEY_BLOCK = key_block or old_blk
     SM.PREFILL_KERNEL_THRESHOLD = 0 if kernel else 10**9
 
+    # Slope timing (the bench_op protocol): N prefills chained INSIDE one
+    # jitted program through the page carry (each iteration's appends depend
+    # on the previous pages, so nothing can be hoisted or elided), then the
+    # slope between two trip counts — a single wall-clocked dispatch would
+    # count the ~30 ms tunnel round-trip as layer work and skew the
+    # one-pass/scanned/kernel comparison this script exists to make.
     @jax.jit
-    def run(ids, pages):
-        x, new_pages = SM.prefill_hidden(
-            params, pages, ids, table_row, cfg, spec
-        )
-        return jnp.sum(x.astype(jnp.float32)), new_pages
+    def chained(n, pages):
+        def body(_, pgs):
+            _, new_pgs = SM.prefill_hidden(
+                params, pgs, ids, table_row, cfg, spec
+            )
+            return new_pgs
+        pgs = jax.lax.fori_loop(0, n, body, pages)
+        return jnp.sum(pgs[0].params.astype(jnp.float32))
 
+    n_lo, n_hi = jnp.int32(1), jnp.int32(1 + n_iters)
     try:
-        s, _ = run(ids, pages)
-        float(s)  # compile + barrier
-        best = float("inf")
-        for _ in range(n_iters):
-            t0 = time.perf_counter()
-            s, _ = run(ids, pages)
-            float(s)
-            best = min(best, time.perf_counter() - t0)
+        float(chained(n_lo, pages))  # compile + barrier
+        float(chained(n_hi, pages))
+        t_lo = min(
+            _walltime(lambda: float(chained(n_lo, pages))) for _ in range(2)
+        )
+        t_hi = min(
+            _walltime(lambda: float(chained(n_hi, pages))) for _ in range(2)
+        )
+        best = max(t_hi - t_lo, 1e-9) / n_iters
     finally:
         SM.PREFILL_SCAN_THRESHOLD, SM.PREFILL_KEY_BLOCK = old_thr, old_blk
         SM.PREFILL_KERNEL_THRESHOLD = old_krn
     return best
+
+
+def _walltime(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
 
 
 def main():

@@ -66,9 +66,13 @@ def main():
           f"pool={n_pages} pages", flush=True)
     engine = build_engine(cfg, spec, tg, n_pages)
 
-    rng = np.random.Generator(np.random.PCG64(7))
+    at = args.batch  # long prompt arrives after the first batch is resident
 
     def workload(with_long: bool) -> RequestSet:
+        # IDENTICAL background both runs: fresh generator per call (a shared
+        # stream would give the two runs different background lengths and the
+        # baseline-vs-4k delta would partly measure sampling noise)
+        rng = np.random.Generator(np.random.PCG64(7))
         n_bg = 2 * args.batch  # enough to keep the batch full throughout
         plens = rng.integers(200, 480, n_bg).astype(np.int32)
         olens = rng.integers(96, 160, n_bg).astype(np.int32)
@@ -77,14 +81,26 @@ def main():
             for p in plens
         ]
         if with_long:
-            # arrives mid-stream: after the first batch is resident
-            at = args.batch
             plens = np.insert(plens, at, args.prompt)
             olens = np.insert(olens, at, 64)
             prompts.insert(
                 at, rng.integers(1, cfg.vocab_size, args.prompt).astype(np.int32)
             )
         return RequestSet(plens, olens, prompts)
+
+    # Warmup: compile every program the timed runs dispatch (bucket prefill,
+    # decode step at both flush parities, and the chunked mixed step via a
+    # prompt over the largest bucket) so no compile lands inside a timed run.
+    warm_rng = np.random.Generator(np.random.PCG64(11))
+    warm_plens = np.asarray([256, 600], np.int32)  # 600 > bucket 512 -> mixed
+    warm = RequestSet(
+        warm_plens,
+        np.asarray([40, 40], np.int32),  # > HOT_W=32: both flush parities
+        [warm_rng.integers(1, cfg.vocab_size, int(p)).astype(np.int32)
+         for p in warm_plens],
+    )
+    engine.run(warm)
+    print("warmup done", flush=True)
 
     scale = 32 / args.layers
     for name, with_long in (("baseline (no 4k)", False), ("with 4k", True)):
@@ -93,8 +109,8 @@ def main():
                 f"ttft_avg {res['ttft_avg_s']:.3f}s "
                 f"p90 {res['ttft_p90_s']:.3f}s mixed_steps {res['mixed_steps']}")
         if with_long:
-            i = res["prompt_lens"].index(args.prompt)
-            ttft = res["ttft_per_request"][i]
+            ttft = res["ttft_per_request"][at]  # by insertion position (a
+            # background request can share the same prompt LENGTH)
             line += (f"  |  4k-prompt TTFT {ttft:.3f}s "
                      f"(x{scale:.0f} layers ~ {ttft*scale:.3f}s at 32L)")
         print(line, flush=True)
