@@ -44,7 +44,7 @@ def main():
     d, inter, m = args.d, args.inter, args.m
     assert fused_mlp_supported(d, inter, 128, 128)
 
-    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    ks = jax.random.split(jax.random.PRNGKey(0), 10)
     gu = pack_for_kernel(quantize_weight_packed(
         jax.random.normal(ks[0], (d, 2 * inter), jnp.float32) * 0.03, SPEC))
     dn = pack_for_kernel(quantize_weight_packed(
@@ -61,10 +61,17 @@ def main():
         d_in = quantize_activation_packed(act, SPEC)
         return x_ + quant_gemm_packed(d_in, dn)
 
+    wg_mlp = jnp.take(ln_w, ridx)
+
     def fused(x_):
-        y = jnp.take(R.rmsnorm(x_, ln_w, 1e-5), ridx, axis=-1)
+        # EXACTLY the production configuration (serving/model.py:318-322):
+        # raw gathered input + norm_w fused in-kernel.  (An XLA rmsnorm here
+        # would both understate the saving and leave the in-kernel norm
+        # prologue untested on hardware.)
+        y = jnp.take(x_, ridx, axis=-1)
         return fused_mlp_packed(
-            y, x_, gu, dn, abits=SPEC.abits, a_clip=SPEC.a_clip_ratio)
+            y, x_, gu, dn, norm_w=wg_mlp,
+            abits=SPEC.abits, a_clip=SPEC.a_clip_ratio)
 
     t0 = time.time()
     want = np.asarray(jax.jit(unfused)(x), np.float32)
@@ -79,11 +86,12 @@ def main():
     # of elements moved beyond flip noise, not raw inequality.
     diff = np.abs(got - want)
     moved = np.mean(diff > (0.1 + 0.02 * np.abs(want)))
+    if moved >= 0.02:
+        raise SystemExit(
+            f"MLP parity FAILED: {moved:.4%} moved beyond flip noise")
     print(f"parity OK ({np.mean(got != want):.4%} elements touched, "
           f"{moved:.4%} beyond flip noise, max diff {diff.max():.3f})",
           flush=True)
-    if moved >= 0.02:
-        raise SystemExit("moved fraction above the 2% documented bound")
 
     xf = x.astype(jnp.float32)  # perturbable float arg for bench_op
 
@@ -105,7 +113,7 @@ def main():
     n_q = d  # 7B: o_proj is [n_q, d] with n_q == d
     wo = pack_for_kernel(quantize_weight_packed(
         jax.random.normal(ks[5], (n_q, d), jnp.float32) * 0.03, SPEC))
-    attn = (jax.random.normal(ks[4], (m, n_q), jnp.float32) * 0.5).astype(
+    attn = (jax.random.normal(ks[9], (m, n_q), jnp.float32) * 0.5).astype(
         jnp.bfloat16)
     oidx = jax.random.permutation(jax.random.PRNGKey(1), n_q).astype(
         jnp.int32)
@@ -124,9 +132,10 @@ def main():
     og = np.asarray(jax.jit(o_fused)(af), np.float32)
     np.testing.assert_allclose(og, ow, rtol=5e-2, atol=1.0)
     omoved = np.mean(np.abs(og - ow) > (0.1 + 0.02 * np.abs(ow)))
-    print(f"o_proj parity OK ({omoved:.4%} beyond flip noise)", flush=True)
     if omoved >= 0.02:
-        raise SystemExit("o_proj fused-in parity failed on hardware")
+        raise SystemExit(
+            f"o_proj fused-in parity FAILED: {omoved:.4%} beyond flip noise")
+    print(f"o_proj parity OK ({omoved:.4%} beyond flip noise)", flush=True)
     t_ou = bench_op(o_unfused, [af], iters=args.iters)
     t_of = bench_op(o_fused, [af], iters=args.iters)
     print(f"unfused o_proj chain: {t_ou*1e6:7.1f} us")
@@ -134,25 +143,21 @@ def main():
           f"(saved {1e6*(t_ou-t_of):+.1f} us/layer)", flush=True)
 
     # ---- fused qkv ring (norm + quant prologue) --------------------------
-    from atom_tpu.ops.kv_hot import make_hot, write_hot
+    from atom_tpu.ops.kv_hot import make_hot
     from atom_tpu.ops.pallas_gemm_packed import (
         assemble_activation,
-        packed_w4_gemm_qkv,
         packed_w4_gemm_qkv_ring,
         packed_w4_gemm_qkv_ring_fused,
     )
-    from atom_tpu.ops.reference import KVQuant
 
     dh, n_kv = 128, d
     wqkv = pack_for_kernel(quantize_weight_packed(
-        jax.random.normal(ks[3], (d, n_q + 2 * n_kv), jnp.float32) * 0.03,
+        jax.random.normal(ks[6], (d, n_q + 2 * n_kv), jnp.float32) * 0.03,
         SPEC))
     sw = jnp.concatenate([wqkv.body_scale, wqkv.keeper_scale[None, :]],
                          axis=0)
-    cos = jax.random.uniform(jax.random.PRNGKey(2), (m, dh), jnp.float32,
-                             -1, 1)
-    sin = jax.random.uniform(jax.random.PRNGKey(3), (m, dh), jnp.float32,
-                             -1, 1)
+    cos = jax.random.uniform(ks[7], (m, dh), jnp.float32, -1, 1)
+    sin = jax.random.uniform(ks[8], (m, dh), jnp.float32, -1, 1)
     hot = make_hot(m, n_kv // dh, dh)
     row = jnp.int32(5)
 
@@ -179,13 +184,22 @@ def main():
     qf_ = jax.jit(qkv_fused)(xf)
     qg, qw = np.asarray(qf_[0], np.float32), np.asarray(qu[0], np.float32)
     np.testing.assert_allclose(qg, qw, rtol=5e-2, atol=0.5)
-    for nm, a, b, bound in (("kc", qf_[1], qu[1], 0.999),
-                            ("kp", qf_[2], qu[2], 0.99),
-                            ("vc", qf_[3], qu[3], 0.999)):
+    # Compare ONLY the written ring column (row=5): the other W-1 columns
+    # are zero in both paths and would dilute the fraction 32x.
+    for nm, a, b, bound in (
+        ("kc", qf_[1][..., 5], qu[1][..., 5], 0.999),
+        ("kp", qf_[2][..., 5], qu[2][..., 5], 0.99),
+        ("vc", qf_[3][:, :, 5, :], qu[3][:, :, 5, :], 0.999),
+    ):
         same = float(np.mean(np.asarray(a) == np.asarray(b)))
-        print(f"qkv ring {nm}: {same:.4%} equal", flush=True)
         if same <= bound:
-            raise SystemExit(f"qkv ring fused parity failed on hardware ({nm})")
+            raise SystemExit(
+                f"qkv ring fused parity FAILED ({nm}: {same:.4%} equal "
+                f"on the written column)")
+        print(f"qkv ring {nm}: {same:.4%} equal (written column)", flush=True)
+    # NOTE both arms pay the same per-iteration alias copy of the
+    # loop-invariant ring inside bench_op (production loop-carries/donates
+    # it), so the absolute numbers are inflated but the DELTA is clean.
     t_qu = bench_op(qkv_unfused, [xf], iters=args.iters)
     t_qf = bench_op(qkv_fused, [xf], iters=args.iters)
     print(f"qkv ring (int input + XLA norm/quant): {t_qu*1e6:7.1f} us")

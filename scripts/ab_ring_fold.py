@@ -22,11 +22,19 @@ from atom_tpu.ops.reference import KVQuant
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096,
+                    help="n_q = n_kv (4096 = 7B; small for CPU smoke)")
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
     key = jax.random.PRNGKey(0)
     M, dh = 32, 128
-    n_q, n_kv = 4096, 4096  # 7B geometry
+    n_q, n_kv = args.n, args.n  # 7B geometry by default
     N = n_q + 2 * n_kv
-    kb = 4096 - 128
+    kb = n_q - 128
     ng = kb // 128
     ks = jax.random.split(key, 8)
     a = jax.random.randint(ks[0], (M, kb + 128), -8, 8, jnp.int8)
@@ -46,6 +54,7 @@ def main():
     print(f"unfused compiled in {time.time()-t0:.0f}s", flush=True)
 
     ok = True
+    row_ok = True
     for row_i in (0, 7, 13, 31):
         hot = make_hot(M, H, dh)
         hot = hot._replace(
@@ -65,6 +74,7 @@ def main():
             hot.k_codes, hot.prm, hot.v_codes, row,
             n_q=n_q, n_kv=n_kv, head_dim=dh,
         )
+        row_ok = True
         for name, ref, got in (
             ("q", q0, q1), ("kc", ref_hot.k_codes, kc1),
             ("prm", ref_hot.prm, kp1), ("vc", ref_hot.v_codes, vc1),
@@ -74,36 +84,66 @@ def main():
                 bad = np.argwhere(r != g)
                 print(f"row {row_i} {name}: MISMATCH {bad.shape[0]} elems, "
                       f"first {bad[:3].tolist()}")
-                ok = False
-        print(f"row {row_i}: {'OK' if ok else 'FAIL'} "
+                row_ok = False
+        ok = ok and row_ok
+        print(f"row {row_i}: {'OK' if row_ok else 'FAIL'} "
               f"({time.time()-t0:.0f}s)", flush=True)
     if not ok:
         raise SystemExit(1)
 
-    from atom_tpu.utils.timing import bench_op
+    # Slope timing with the ring LOOP-CARRIED, as production does
+    # (decode_burst carries the ring through the step): benching with a
+    # loop-INVARIANT ring makes XLA materialize a full copy-on-alias of the
+    # ~6 MB ring every iteration in the fused arm — roughly the cost of the
+    # write_hot rebuild it replaces — and the measured delta collapses to ~0.
+    iters = args.iters
+
+    @jax.jit
+    def fused_chain(n, kc, pr, vc, cos_):
+        def body(i, carry):
+            kc_, pr_, vc_, c_ = carry
+            q, kc_, pr_, vc_ = packed_w4_gemm_qkv_ring(
+                a, wp, wk, sa, sw, c_, sin, kc_, pr_, vc_,
+                (jnp.int32(5) + i) % 32,
+                n_q=n_q, n_kv=n_kv, head_dim=dh,
+            )
+            return kc_, pr_, vc_, c_ + jnp.sum(q).astype(jnp.float32) * 1e-30
+        kc, pr, vc, c = jax.lax.fori_loop(0, n, body, (kc, pr, vc, cos_))
+        return jnp.sum(c)
+
+    @jax.jit
+    def unfused_chain(n, kc, pr, vc, cos_):
+        def body(i, carry):
+            kc_, pr_, vc_, c_ = carry
+            q, kcq, kpq, vcq, vpq = packed_w4_gemm_qkv(
+                a, wp, wk, sa, sw, c_, sin, n_q=n_q, n_kv=n_kv, head_dim=dh
+            )
+            h2 = write_hot(
+                make_hot(M, H, dh)._replace(k_codes=kc_, prm=pr_, v_codes=vc_),
+                (jnp.int32(5) + i) % 32,
+                KVQuant(kcq.reshape(M, H, dh), kpq),
+                KVQuant(vcq.reshape(M, H, dh), vpq),
+            )
+            return (h2.k_codes, h2.prm, h2.v_codes,
+                    c_ + jnp.sum(q).astype(jnp.float32) * 1e-30)
+        kc, pr, vc, c = jax.lax.fori_loop(0, n, body, (kc, pr, vc, cos_))
+        return jnp.sum(c)
 
     hot = make_hot(M, H, dh)
-    t_f = bench_op(
-        lambda cos_: packed_w4_gemm_qkv_ring(
-            a, wp, wk, sa, sw, cos_, sin,
-            hot.k_codes, hot.prm, hot.v_codes, jnp.int32(5),
-            n_q=n_q, n_kv=n_kv, head_dim=dh,
-        ),
-        [cos], iters=30,
-    )
 
-    def unfused(cos_):
-        q, kc, kp, vc, vp = packed_w4_gemm_qkv(
-            a, wp, wk, sa, sw, cos_, sin, n_q=n_q, n_kv=n_kv, head_dim=dh
-        )
-        h2 = write_hot(
-            hot, jnp.int32(5),
-            KVQuant(kc.reshape(M, H, dh), kp),
-            KVQuant(vc.reshape(M, H, dh), vp),
-        )
-        return q, h2
+    def slope(fn):
+        lo, hi = jnp.int32(1), jnp.int32(1 + iters)
+        float(fn(lo, hot.k_codes, hot.prm, hot.v_codes, cos))
+        float(fn(hi, hot.k_codes, hot.prm, hot.v_codes, cos))
+        ts = []
+        for n in (lo, hi, lo, hi):
+            t0 = time.perf_counter()
+            float(fn(n, hot.k_codes, hot.prm, hot.v_codes, cos))
+            ts.append(time.perf_counter() - t0)
+        return (min(ts[1], ts[3]) - min(ts[0], ts[2])) / iters
 
-    t_u = bench_op(unfused, [cos], iters=30)
+    t_f = slope(fused_chain)
+    t_u = slope(unfused_chain)
     print(f"fused ring: {t_f*1e6:7.1f} us")
     print(f"unfused+write_hot: {t_u*1e6:7.1f} us")
     print(f"saved: {1e6*(t_u-t_f):+.1f} us/layer")
