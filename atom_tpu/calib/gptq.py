@@ -144,11 +144,14 @@ def _process_block(
     channel_group: int,
     clip_ratio: float,
     quant_type: QuantType,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Quantize one column block in place and propagate errors right.
 
-    Returns the updated full weight matrix; W[:, i1:i1+block] holds the quantized
-    values, trailing columns the compensated ones.
+    Returns ``(w_full, scale)``: the updated full weight matrix —
+    W[:, i1:i1+block] holds the quantized values, trailing columns the
+    compensated ones — and the [rows // channel_group, 1] scale the block was
+    quantized on (needed to recover the integer codes exactly for the packed
+    serving format; see :func:`ops.formats.pack_gptq_output`).
     """
     rows, cols = w_full.shape
     w1 = jax.lax.dynamic_slice(w_full, (0, i1), (rows, block))
@@ -186,7 +189,7 @@ def _process_block(
     hrows = jax.lax.dynamic_slice(hinv, (i1, 0), (block, cols))
     tail_mask = (jnp.arange(cols)[None, :] >= (i1 + block)).astype(w_full.dtype)
     w_full = w_full - err @ (hrows * tail_mask)
-    return w_full
+    return w_full, scale
 
 
 @functools.partial(
@@ -201,6 +204,7 @@ def _process_block(
         "quant_type",
         "percdamp",
         "clip_ratio",
+        "return_scales",
     ),
 )
 def gptq_quantize_weight(
@@ -216,11 +220,20 @@ def gptq_quantize_weight(
     quant_type: QuantType = QuantType.INT,
     percdamp: float = 0.01,
     clip_ratio: float = 1.0,
-) -> jnp.ndarray:
+    return_scales: bool = False,
+):
     """GPTQ-quantize a [out, in] weight given its input Hessian.
 
     Returns the fake-quantized weight (same dtype/shape), with the last ``keeper``
     input channels error-compensated and quantized at keeper precision.
+
+    With ``return_scales=True`` also returns the per-group scales the blocks
+    were quantized on, [n_groups, out // channel_group] f32 over the non-keeper
+    columns.  GPTQ derives each group's scale from the ERROR-COMPENSATED
+    weights at the moment the block is reached (gptq.py:281-284), so the grid
+    cannot be recovered from the fake-quantized output alone — exporting it is
+    the only exact path into the packed serving format
+    (:func:`atom_tpu.ops.formats.pack_gptq_output`).
     """
     orig_dtype = w.dtype
     rows, cols = w.shape
@@ -279,9 +292,10 @@ def gptq_quantize_weight(
     remainder = n_nonout - n_full_blocks * block
 
     def scan_body(w_acc, blk_idx):
-        return process(w_acc, hinv, blk_idx * block), None
+        w_acc, scale = process(w_acc, hinv, blk_idx * block)
+        return w_acc, scale[:, 0]
 
-    w32, _ = jax.lax.scan(
+    w32, block_scales = jax.lax.scan(
         scan_body, w32, jnp.arange(n_full_blocks, dtype=jnp.int32)
     )
     if remainder:
@@ -297,8 +311,11 @@ def gptq_quantize_weight(
             clip_ratio=clip_ratio,
             quant_type=quant_type,
         )
-        w32 = process_rem(
+        w32, rem_scale = process_rem(
             w32, hinv, jnp.asarray(n_full_blocks * block, jnp.int32)
+        )
+        block_scales = jnp.concatenate(
+            [block_scales, rem_scale[:, 0][None]], axis=0
         )
 
     # Keeper columns: error-compensated above, now quantized at keeper precision
@@ -307,12 +324,17 @@ def gptq_quantize_weight(
         keep = quantize_keeper(w32[:, n_nonout:], keeper_precision)
         w32 = w32.at[:, n_nonout:].set(keep)
 
+    if return_scales:
+        return w32.astype(orig_dtype), block_scales
     return w32.astype(orig_dtype)
 
 
 def gptq_quantize_weight_spec(
-    w: jnp.ndarray, hessian: jnp.ndarray, spec: QuantSpec
-) -> jnp.ndarray:
+    w: jnp.ndarray,
+    hessian: jnp.ndarray,
+    spec: QuantSpec,
+    return_scales: bool = False,
+):
     """Convenience wrapper taking a :class:`QuantSpec`."""
     return gptq_quantize_weight(
         w,
@@ -326,4 +348,5 @@ def gptq_quantize_weight_spec(
         quant_type=spec.quant_type,
         percdamp=spec.percdamp,
         clip_ratio=spec.w_clip_ratio,
+        return_scales=return_scales,
     )

@@ -20,7 +20,7 @@ calibration data of later layers.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +87,7 @@ def quantize_model_gptq(
     cfg: ModelConfig,
     spec: QuantSpec,
     batches: Sequence[jnp.ndarray],
+    scales_out: Optional[Dict[str, jnp.ndarray]] = None,
 ):
     """Layer-streamed GPTQ over the (already reordered) model.
 
@@ -94,6 +95,12 @@ def quantize_model_gptq(
     tap-collecting forwards (activations already fake-quantized per ``spec``),
     GPTQ-quantize every linear against its Hessian, then recompute the layer's
     outputs with the quantized weights as the next layer's calibration inputs.
+
+    ``scales_out``: pass a dict to receive the per-group GPTQ scales, keyed
+    ``"{layer_idx}.{weight_name}"`` -> [n_groups, out // channel_group] f32.
+    GPTQ derives each group's grid from the error-compensated weights, so these
+    scales are required for exact conversion into the packed serving format
+    (``models.hf_loader.pack_calibrated_params``).
     """
     m = _model_api(cfg)
     xs = [m.embed(params, b) for b in batches]
@@ -103,23 +110,30 @@ def quantize_model_gptq(
         lambda lp, x: m.forward_layer(lp, x, *aux, cfg, spec)[0]
     )
 
-    def quantize_fn(w_out_in, hessian):
-        return gptq_quantize_weight(
-            w_out_in,
-            hessian,
-            bits=spec.wbits,
-            sym=spec.w_sym,
-            group_size=spec.weight_group_size,
-            channel_group=spec.weight_channel_group,
-            keeper=spec.keeper,
-            keeper_precision=spec.keeper_precision,
-            quant_type=spec.quant_type,
-            percdamp=spec.percdamp,
-            clip_ratio=spec.w_clip_ratio,
-        )
-
     tap_specs = m.hessian_tap_specs(cfg)
     for i in range(cfg.num_layers):
+
+        def quantize_fn(w_out_in, hessian, name=None, _layer=i):
+            out = gptq_quantize_weight(
+                w_out_in,
+                hessian,
+                bits=spec.wbits,
+                sym=spec.w_sym,
+                group_size=spec.weight_group_size,
+                channel_group=spec.weight_channel_group,
+                keeper=spec.keeper,
+                keeper_precision=spec.keeper_precision,
+                quant_type=spec.quant_type,
+                percdamp=spec.percdamp,
+                clip_ratio=spec.w_clip_ratio,
+                return_scales=scales_out is not None,
+            )
+            if scales_out is None:
+                return out
+            wq, scales = out
+            scales_out[f"{_layer}.{name}"] = scales
+            return wq
+
         lp = m.get_layer(params, i)
         states = {t: gptq_init(f) for t, f in tap_specs.items()}
         for x in xs:
@@ -142,10 +156,13 @@ def calibrate(
     cfg: ModelConfig,
     spec: QuantSpec,
     batches: Sequence[jnp.ndarray],
+    scales_out: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[object, Dict[str, jnp.ndarray]]:
     """Full pipeline: saliency -> reorder -> weight quant (GPTQ or RTN).
 
     Mirrors the ``model/main.py:224-266`` sequencing.  Returns (params, indices).
+    ``scales_out`` (GPTQ only): see :func:`quantize_model_gptq` — required for
+    exact export into the packed serving format.
     """
     indices: Dict[str, jnp.ndarray] = {}
     if spec.reorder:
@@ -154,7 +171,7 @@ def calibrate(
         params = reorder_model(params, cfg, indices)
     if spec.quantize_weights:
         if spec.use_gptq:
-            params = quantize_model_gptq(params, cfg, spec, batches)
+            params = quantize_model_gptq(params, cfg, spec, batches, scales_out)
         else:
             params = quantize_model_rtn(params, cfg, spec)
     return params, indices

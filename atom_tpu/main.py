@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="local HF checkpoint dir (weights + tokenizer)")
     p.add_argument("--save_dir", type=str, default=None,
                    help="save packed quantized weights + reorder indices here")
+    p.add_argument("--export_serving", type=str, default=None,
+                   help="pack the calibrated model into real-kernel "
+                        "ServingParams and save to this dir (Llama arch; "
+                        "exact code transfer — GPTQ scales are exported, RTN "
+                        "re-packs the reordered originals)")
     p.add_argument("--layers", type=int, default=0,
                    help="truncate to N layers (smoke runs)")
     return p
@@ -192,8 +197,25 @@ def main(argv=None):
     elif args.ckpt:
         from atom_tpu.utils.checkpoint import restore_pytree
 
-        like = m.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-        params = restore_pytree(args.ckpt, like)
+        # Restore at the checkpoint's full depth, then slice the layer stack
+        # if --layers truncates: restoring into a truncated template would
+        # either fail the shape check or (before it existed) silently leave
+        # the scan-based forward running every saved layer.
+        full_cfg = getattr(models, MODEL_PRESETS[args.model])
+        try:
+            like = m.init_params(jax.random.PRNGKey(0), full_cfg, jnp.bfloat16)
+            params = restore_pytree(args.ckpt, like)
+            if args.layers:
+                params = {
+                    **params,
+                    "layers": jax.tree.map(
+                        lambda a: a[: args.layers], params["layers"]
+                    ),
+                }
+        except AssertionError:
+            # checkpoint itself saved at truncated depth: restore as-is
+            like = m.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+            params = restore_pytree(args.ckpt, like)
     else:
         params = m.init_params(jax.random.PRNGKey(args.seed), cfg, jnp.bfloat16)
     print(f"params ready in {time.time() - t0:.1f}s", flush=True)
@@ -201,7 +223,14 @@ def main(argv=None):
     batches, tests, seqlen = load_data(args, cfg)
 
     t0 = time.time()
-    params, indices = calibrate(params, cfg, spec, [jnp.asarray(b) for b in batches])
+    # Exact serving export needs the GPTQ grid (scales_out) or, for RTN, the
+    # reordered ORIGINALS to re-derive it (see hf_loader.pack_calibrated_params).
+    gptq_scales = {} if (args.export_serving and spec.use_gptq) else None
+    orig_params = params if (args.export_serving and not spec.use_gptq) else None
+    params, indices = calibrate(
+        params, cfg, spec, [jnp.asarray(b) for b in batches],
+        scales_out=gptq_scales,
+    )
     print(f"calibration in {time.time() - t0:.1f}s", flush=True)
 
     if args.save_dir:
@@ -209,6 +238,25 @@ def main(argv=None):
 
         save_quantized(args.save_dir, params, indices, cfg, spec)
         print(f"saved quantized model to {args.save_dir}", flush=True)
+
+    if args.export_serving:
+        from atom_tpu.calib.pipeline import reorder_model
+        from atom_tpu.models.configs import Arch
+        from atom_tpu.models.hf_loader import pack_calibrated_params
+        from atom_tpu.utils.checkpoint import save_serving
+
+        assert cfg.arch == Arch.LLAMA, "serving export is Llama-arch only"
+        orig_reordered = (
+            reorder_model(orig_params, cfg, indices)
+            if orig_params is not None and spec.reorder
+            else orig_params
+        )
+        sp = pack_calibrated_params(
+            params, cfg, spec,
+            orig_params=orig_reordered, gptq_scales=gptq_scales,
+        )
+        save_serving(args.export_serving, sp, cfg, spec)
+        print(f"exported serving weights to {args.export_serving}", flush=True)
 
     if args.eval_ppl:
         for name, stream in tests.items():

@@ -228,35 +228,78 @@ def load_mixtral_params(path: str, cfg: ModelConfig, dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 
 
-def pack_calibrated_params(params, cfg: ModelConfig, spec):
+def pack_calibrated_params(
+    params, cfg: ModelConfig, spec, *, orig_params=None, gptq_scales=None
+):
     """Calibrated (reordered, weight-quantized) Llama accuracy-pipeline params
-    -> ``serving.model.ServingParams``.
+    -> ``serving.model.ServingParams``, closing the calibrate -> serve loop.
 
-    The fake-quant weights are already ROUNDED to the quantization grid, so
-    re-deriving codes with the same RTN scale recovers them exactly (GPTQ
-    included: its output values sit on the same per-group grid).  Reorder
-    indices transfer as-is; q/k/v and gate/up fuse into the wide serving
-    GEMMs.
+    Exactness depends on what the caller supplies (both are cheap to have):
+
+    * ``gptq_scales`` (GPTQ calibration): the per-group scales exported by
+      ``calibrate(..., scales_out=...)``.  GPTQ derives each group's grid from
+      the error-compensated weights mid-loop, so the grid is NOT recoverable
+      from the fake values; with the export, code recovery is exact
+      (:func:`ops.formats.pack_gptq_output`).
+    * ``orig_params`` (RTN calibration): the REORDERED, weight-UNQUANTIZED
+      params (``reorder_model(original, cfg, indices)``).  The serving RTN
+      quantizer shares its scale math with the accuracy fake-quant
+      (``compute_scale_sym`` absmax*clip/7 per channel-grouped 128-group), so
+      packing the originals reproduces the fake-quant weights exactly.
+    * Neither: the fake values are re-quantized with the clip ratio DISABLED
+      (they already sit on the clipped grid; clipping twice would shrink it
+      again).  Near-exact — groups whose minimum sits on the -2^(b-1) clamp
+      re-derive a slightly wide scale and may move a few codes by one step.
+
+    Reorder indices transfer as-is; q/k/v and gate/up fuse into the wide
+    serving GEMMs (per-piece packing concatenated on the output axis, valid
+    since scales are per-output-channel-group and ``out % channel_group == 0``
+    for every piece).
     """
-    from atom_tpu.ops.formats import pack_for_kernel, quantize_weight_packed
+    from atom_tpu.ops.formats import (
+        concat_packed_out,
+        pack_for_kernel,
+        pack_gptq_output,
+        quantize_weight_packed,
+    )
     from atom_tpu.serving.model import ServingLayerParams, ServingParams
 
-    def packed(w):
-        return pack_for_kernel(quantize_weight_packed(w, spec))
+    rtn_spec = spec if orig_params is not None else spec.replace(
+        w_clip_ratio=1.0
+    )
+
+    def packed(i, lp, lp_orig, *wnames):
+        pws = []
+        for wname in wnames:
+            if gptq_scales is not None:
+                pws.append(
+                    pack_gptq_output(
+                        lp[wname], gptq_scales[f"{i}.{wname}"], spec
+                    )
+                )
+            else:
+                src = lp_orig[wname] if lp_orig is not None else lp[wname]
+                pws.append(quantize_weight_packed(src, rtn_spec))
+        return pack_for_kernel(pws[0] if len(pws) == 1 else concat_packed_out(pws))
 
     layers = []
     for i in range(cfg.num_layers):
         lp = jax.tree.map(lambda a: a[i], params["layers"])
+        lp_orig = (
+            None
+            if orig_params is None
+            else jax.tree.map(lambda a: a[i], orig_params["layers"])
+        )
         layers.append(ServingLayerParams(
             ln_attn=lp["input_ln"].astype(jnp.bfloat16),
             ln_mlp=lp["post_ln"].astype(jnp.bfloat16),
             attn_reorder=lp["attn_ln_idx"],
             o_reorder=lp["attn_out_idx"],
             mlp_reorder=lp["mlp_ln_idx"],
-            wqkv=packed(jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=1)),
-            wo=packed(lp["wo"]),
-            wgateup=packed(jnp.concatenate([lp["wgate"], lp["wup"]], axis=1)),
-            wdown=packed(lp["wdown"]),
+            wqkv=packed(i, lp, lp_orig, "wq", "wk", "wv"),
+            wo=packed(i, lp, lp_orig, "wo"),
+            wgateup=packed(i, lp, lp_orig, "wgate", "wup"),
+            wdown=packed(i, lp, lp_orig, "wdown"),
             ln_attn_g=jnp.take(
                 lp["input_ln"].astype(jnp.bfloat16), lp["attn_ln_idx"]
             ),

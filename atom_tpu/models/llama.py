@@ -226,7 +226,9 @@ def hessian_tap_specs(cfg: ModelConfig) -> Dict[str, int]:
 def gptq_apply(lp: Params, hessians: Dict[str, jnp.ndarray], quantize_fn) -> Params:
     """Quantize one layer's linears against their input Hessians.
 
-    ``quantize_fn(w_out_in, hessian) -> w_q`` operates in [out, in] convention.
+    ``quantize_fn(w_out_in, hessian, name=wname) -> w_q`` operates in [out, in]
+    convention; ``name`` identifies the param so callers can record per-weight
+    aux data (e.g. the GPTQ group scales the serving export needs).
     """
     wiring = {
         "self_attn.q_proj.input": ("wq", "wk", "wv"),
@@ -238,7 +240,7 @@ def gptq_apply(lp: Params, hessians: Dict[str, jnp.ndarray], quantize_fn) -> Par
     for tapname, wnames in wiring.items():
         h = hessians[tapname]
         for wname in wnames:
-            lp[wname] = quantize_fn(lp[wname].T, h).T
+            lp[wname] = quantize_fn(lp[wname].T, h, name=wname).T
     return lp
 
 

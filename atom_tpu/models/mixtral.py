@@ -318,7 +318,7 @@ def gptq_apply(lp: Params, hessians: Dict[str, jnp.ndarray], quantize_fn) -> Par
         ("wv", "self_attn.q_proj.input"),
         ("wo", "self_attn.o_proj.input"),
     ):
-        lp[wname] = quantize_fn(lp[wname].T, hessians[tapname]).T
+        lp[wname] = quantize_fn(lp[wname].T, hessians[tapname], name=wname).T
     E = lp["w1"].shape[0]
     for stacked, tap_tmpl in (
         ("w1", "block_sparse_moe.experts.{}.w1.input"),
@@ -327,7 +327,11 @@ def gptq_apply(lp: Params, hessians: Dict[str, jnp.ndarray], quantize_fn) -> Par
     ):
         lp[stacked] = jnp.stack(
             [
-                quantize_fn(lp[stacked][e].T, hessians[tap_tmpl.format(e)]).T
+                quantize_fn(
+                    lp[stacked][e].T,
+                    hessians[tap_tmpl.format(e)],
+                    name=f"{stacked}.{e}",
+                ).T
                 for e in range(E)
             ]
         )

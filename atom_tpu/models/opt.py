@@ -259,7 +259,7 @@ def gptq_apply(lp: Params, hessians: Dict[str, jnp.ndarray], quantize_fn) -> Par
     lp = dict(lp)
     for tapname, wnames in wiring.items():
         for wname in wnames:
-            lp[wname] = quantize_fn(lp[wname].T, hessians[tapname]).T
+            lp[wname] = quantize_fn(lp[wname].T, hessians[tapname], name=wname).T
     return lp
 
 

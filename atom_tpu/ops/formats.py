@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from atom_tpu.config import KeeperPrecision, QuantSpec
+from atom_tpu.config import KeeperPrecision, QuantSpec, QuantType
 from atom_tpu.quant.core import compute_scale_sym, quantize_groups
 from atom_tpu.quant.packing import pack_int4, unpack_int4
 
@@ -111,6 +111,69 @@ def quantize_weight_packed(
         body_scale=scale_exp,
         keeper=kq.codes.T,
         keeper_scale=kq.scale[:, 0],
+    )
+
+
+def pack_gptq_output(
+    w_fake: jnp.ndarray, gptq_scales: jnp.ndarray, spec: QuantSpec
+) -> PackedWeight:
+    """GPTQ fake-quantized [in, out] weight + exported group scales -> packed.
+
+    GPTQ values sit exactly on ``code * scale`` grids whose scales come from
+    the error-compensated weights mid-loop (calib/gptq.py ``_find_params``),
+    so the integer codes are recovered EXACTLY by re-rounding on the exported
+    grid — unlike re-quantizing the fake values, which re-applies the clip
+    ratio and mis-derives scales for clamp-edge groups.
+
+    ``gptq_scales``: [n_groups, out // channel_group] from
+    ``gptq_quantize_weight(..., return_scales=True)`` (weights there are
+    [out, in]; this function takes the model's [in, out] storage).
+
+    The keeper block needs no exported scale: its INT8 grid is symmetric
+    per-channel absmax/127 with no clip, and |codes| never exceeds 127, so the
+    grid re-derives exactly from the fake values.
+    """
+    assert spec.quant_type == QuantType.INT, "packed serving path is INT4"
+    assert spec.w_sym
+    in_f, out_f = w_fake.shape
+    k, g, cg = spec.keeper, spec.weight_group_size, spec.weight_channel_group
+    n_groups = (in_f - k) // g
+    assert gptq_scales.shape == (n_groups, out_f // cg), gptq_scales.shape
+
+    scale_exp = jnp.repeat(
+        gptq_scales.astype(jnp.float32), cg, axis=1
+    )  # [ng, out]
+    qmin, qmax = -(2 ** (spec.wbits - 1)), 2 ** (spec.wbits - 1) - 1
+    grouped = (
+        w_fake[: in_f - k].astype(jnp.float32).T.reshape(out_f, n_groups, g)
+    )
+    codes = jnp.clip(
+        jnp.round(grouped / scale_exp.T[:, :, None]), qmin, qmax
+    ).astype(jnp.int8)
+
+    kq = quantize_groups(
+        w_fake[in_f - k :].astype(jnp.float32).T, bits=8, sym=True
+    )
+    return PackedWeight(
+        body=codes.reshape(out_f, in_f - k).T,
+        body_scale=scale_exp,
+        keeper=kq.codes.T,
+        keeper_scale=kq.scale[:, 0],
+    )
+
+
+def concat_packed_out(pws: list) -> PackedWeight:
+    """Concatenate PackedWeights along the OUTPUT axis (fused wide GEMMs).
+
+    Valid because every scale is per-output-channel(-group) and channel groups
+    never straddle a constituent boundary (out_features % channel_group == 0
+    for each piece).
+    """
+    return PackedWeight(
+        body=jnp.concatenate([p.body for p in pws], axis=1),
+        body_scale=jnp.concatenate([p.body_scale for p in pws], axis=1),
+        keeper=jnp.concatenate([p.keeper for p in pws], axis=1),
+        keeper_scale=jnp.concatenate([p.keeper_scale for p in pws], axis=0),
     )
 
 

@@ -78,6 +78,14 @@ def restore_pytree(path: str, like):
     new_leaves = []
     for k, l in zip(keys, leaves_like):
         arr = data[k]
+        # Shape mismatches must be loud: scan-based forwards iterate the
+        # leading (layer) axis of whatever is restored, so a silently
+        # differently-shaped stack runs a different model than the config
+        # says (e.g. a full-depth checkpoint behind a truncated cfg).
+        assert arr.shape == tuple(l.shape), (
+            f"checkpoint leaf {k}: saved shape {arr.shape} != expected "
+            f"{tuple(l.shape)}"
+        )
         saved = saved_dtypes.get(k)
         if saved == "bfloat16":
             arr = arr.view("uint16").view(jax.numpy.bfloat16)
@@ -116,6 +124,50 @@ def load_meta(save_dir: str) -> Tuple[Any, Any]:
     sd["quant_type"] = QuantType(sd["quant_type"])
     spec = QuantSpec(**sd)
     return cfg, spec
+
+
+def save_serving(save_dir: str, serving_params, cfg, spec) -> None:
+    """Persist packed real-kernel ``ServingParams`` (+ the producing cfg/spec).
+
+    The deployment half of the reference's offline split: its serving stacks
+    load converted quantized checkpoints (``e2e/punica-atom/punica/models/
+    llama.py:35-59``); here ``main.py --export_serving`` writes this directory
+    and the engine restores it with :func:`load_serving`.
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    save_pytree(os.path.join(save_dir, "serving_params.npz"), serving_params)
+    meta = {
+        "cfg": dataclasses.asdict(cfg),
+        "spec": {
+            k: (v.value if hasattr(v, "value") else v)
+            for k, v in dataclasses.asdict(spec).items()
+        },
+    }
+    with open(os.path.join(save_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_serving(save_dir: str):
+    """Restore ``(serving_params, cfg, spec)`` saved by :func:`save_serving`.
+
+    The template comes from ``jax.eval_shape`` over ``init_serving_params`` —
+    structure and dtypes without materializing a second copy of the weights.
+    """
+    import functools
+
+    import jax.numpy as jnp  # noqa: F401  (bf16 decoding in restore_pytree)
+
+    from atom_tpu.serving.model import init_serving_params
+
+    cfg, spec = load_meta(save_dir)
+    like = jax.eval_shape(
+        functools.partial(init_serving_params, cfg=cfg, spec=spec),
+        jax.random.PRNGKey(0),
+    )
+    params = restore_pytree(
+        os.path.join(save_dir, "serving_params.npz"), like
+    )
+    return params, cfg, spec
 
 
 def load_quantized(save_dir: str, params_like, indices_like=None):

@@ -70,3 +70,22 @@ def test_restore_dtype_drift_is_safe(tmp_path):
         np.asarray(out["w"]), [1.5, -2.25, 3.0], rtol=1e-2
     )
     assert out["w"].dtype == jnp.float32
+
+
+def test_restore_shape_mismatch_is_loud(tmp_path):
+    """Restoring a stack into a differently-shaped template must raise:
+    scan-based forwards iterate whatever leading (layer) axis was restored,
+    so a silent mismatch runs a different model than the config says
+    (found via a full-depth byte-LM checkpoint behind a --layers-truncated
+    cfg: the scan ran all 12 saved layers while serving ran 2)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from atom_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+    tree = {"layers": {"w": jnp.ones((12, 8), jnp.float32)}}
+    path = str(tmp_path / "t.npz")
+    save_pytree(path, tree)
+    like_trunc = {"layers": {"w": jnp.zeros((2, 8), jnp.float32)}}
+    with pytest.raises(AssertionError, match="shape"):
+        restore_pytree(path, like_trunc)
