@@ -313,3 +313,82 @@ def pack_calibrated_params(
         lm_head=params["lm_head"].astype(jnp.bfloat16),
         layers=layers,
     )
+
+
+def pack_calibrated_params_moe(
+    params, cfg: ModelConfig, spec, *, orig_params=None, gptq_scales=None
+):
+    """Mixtral analog of :func:`pack_calibrated_params`: calibrated fake-quant
+    MoE params -> ``serving.moe.MoEServingParams``.
+
+    Same exactness contract (GPTQ scales keyed ``"{layer}.{w}"`` and per
+    expert ``"{layer}.{w}.{e}"`` as exported by ``calibrate(...,
+    scales_out=...)``; RTN from the reordered originals).  Expert w1/w3 fuse
+    into the stacked ``wgateup`` (gate = w1, up = w3, matching
+    ``_moe_mlp``'s silu(w1)·w3); the float router's rows are already in
+    mlp_reorder order (``modelutils_mixtral.py:63-85``) and transfer as-is.
+    """
+    from atom_tpu.ops.formats import (
+        concat_packed_out,
+        pack_for_kernel,
+        pack_gptq_output,
+        quantize_weight_packed,
+    )
+    from atom_tpu.serving.moe import (
+        MoEServingLayerParams,
+        MoEServingParams,
+        _stack_experts,
+    )
+
+    rtn_spec = spec if orig_params is not None else spec.replace(
+        w_clip_ratio=1.0
+    )
+
+    def one(i, lp, lp_orig, wname, e=None):
+        if gptq_scales is not None:
+            key = f"{i}.{wname}" if e is None else f"{i}.{wname}.{e}"
+            w = lp[wname] if e is None else lp[wname][e]
+            return pack_gptq_output(w, gptq_scales[key], spec)
+        src_lp = lp_orig if lp_orig is not None else lp
+        src = src_lp[wname] if e is None else src_lp[wname][e]
+        return quantize_weight_packed(src, rtn_spec)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        lp_orig = (
+            None
+            if orig_params is None
+            else jax.tree.map(lambda a: a[i], orig_params["layers"])
+        )
+        wqkv = pack_for_kernel(concat_packed_out(
+            [one(i, lp, lp_orig, n) for n in ("wq", "wk", "wv")]
+        ))
+        gus = [
+            pack_for_kernel(concat_packed_out(
+                [one(i, lp, lp_orig, "w1", e), one(i, lp, lp_orig, "w3", e)]
+            ))
+            for e in range(cfg.num_experts)
+        ]
+        downs = [
+            pack_for_kernel(one(i, lp, lp_orig, "w2", e))
+            for e in range(cfg.num_experts)
+        ]
+        layers.append(MoEServingLayerParams(
+            ln_attn=lp["input_ln"].astype(jnp.bfloat16),
+            ln_mlp=lp["post_ln"].astype(jnp.bfloat16),
+            attn_reorder=lp["attn_ln_idx"],
+            o_reorder=lp["attn_out_idx"],
+            mlp_reorder=lp["mlp_ln_idx"],
+            wqkv=wqkv,
+            wo=pack_for_kernel(one(i, lp, lp_orig, "wo")),
+            router=lp["router"].astype(jnp.bfloat16),
+            wgateup=_stack_experts(gus),
+            wdown=_stack_experts(downs),
+        ))
+    return MoEServingParams(
+        embed=params["embed"].astype(jnp.bfloat16),
+        final_norm=params["final_norm"].astype(jnp.bfloat16),
+        lm_head=params["lm_head"].astype(jnp.bfloat16),
+        layers=layers,
+    )

@@ -194,6 +194,80 @@ def test_served_logits_match_accuracy_pipeline():
     assert argmax_agree >= 0.6, argmax_agree
 
 
+MOE_TINY = ModelConfig(
+    arch=Arch.MIXTRAL,
+    vocab_size=199,
+    hidden_size=256,
+    intermediate_size=384,
+    num_layers=2,
+    num_heads=2,
+    num_kv_heads=2,
+    head_dim=128,
+    num_experts=4,
+    num_experts_per_tok=2,
+)
+
+
+def test_moe_gptq_pack_and_served_logits():
+    """Mixtral bridge: exact expert-weight transfer + structural logits
+    parity between the accuracy forward and the real-kernel MoE prefill."""
+    from atom_tpu.models import mixtral
+    from atom_tpu.models.hf_loader import pack_calibrated_params_moe
+    from atom_tpu.serving.model import _lm_head_logits, make_serving_state
+    from atom_tpu.serving.moe import prefill_hidden_moe
+
+    params = mixtral.init_params(jax.random.PRNGKey(0), MOE_TINY, jnp.float32)
+    rng = np.random.Generator(np.random.PCG64(11))
+    batches = [
+        jnp.asarray(rng.integers(1, MOE_TINY.vocab_size, (1, 64)), jnp.int32)
+        for _ in range(2)
+    ]
+    scales = {}
+    calib, _ = calibrate(params, MOE_TINY, SPEC_GPTQ, batches,
+                         scales_out=scales)
+    sp = pack_calibrated_params_moe(
+        calib, MOE_TINY, SPEC_GPTQ, gptq_scales=scales
+    )
+
+    # exact transfer of the stacked expert weights (values near-exact: GPTQ
+    # lands q as w - ((w-q)/d)*d, ~1 ulp off the code*scale product)
+    lp = jax.tree.map(lambda a: a[0], calib["layers"])
+    k = SPEC_GPTQ.keeper
+    for e in range(MOE_TINY.num_experts):
+        fake = jnp.concatenate(
+            [lp["w1"][e], lp["w3"][e]], axis=1
+        ).astype(jnp.float32)
+        kw = jax.tree.map(lambda a: a[e], sp.layers[0].wgateup)
+        deq = np.asarray(dequantize_weight(unpack_from_kernel(kw), jnp.float32))
+        np.testing.assert_allclose(
+            deq[:-k], np.asarray(fake)[:-k], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            deq[-k:], np.asarray(fake)[-k:], rtol=1e-5, atol=1e-7
+        )
+
+    # structural logits parity (see the Llama test for the gate rationale)
+    t = 48
+    ids = jnp.asarray(rng.integers(1, MOE_TINY.vocab_size, t), jnp.int32)
+    want = np.asarray(
+        mixtral.forward(calib, ids[None], MOE_TINY, SPEC_GPTQ)[0], np.float32
+    )
+    state = make_serving_state(
+        MOE_TINY.num_layers, 4, 1, MOE_TINY.num_kv_heads, 128,
+        MOE_TINY.head_dim,
+    )
+    table_row = jnp.arange(1, 2, dtype=jnp.int32)
+    x, _ = prefill_hidden_moe(
+        sp, state.pages, ids, table_row, MOE_TINY, SPEC_GPTQ
+    )
+    got = np.asarray(
+        _lm_head_logits(x, sp.lm_head, MOE_TINY.vocab_size), np.float32
+    )
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.97, corr
+    assert np.abs(got - want).mean() < 0.25 * np.abs(want).mean()
+
+
 @pytest.mark.quick
 def test_serving_checkpoint_roundtrip(tmp_path):
     """save_serving/load_serving round-trips ServingParams bit-for-bit."""
