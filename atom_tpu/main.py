@@ -242,16 +242,26 @@ def main(argv=None):
     if args.export_serving:
         from atom_tpu.calib.pipeline import reorder_model
         from atom_tpu.models.configs import Arch
-        from atom_tpu.models.hf_loader import pack_calibrated_params
+        from atom_tpu.models.hf_loader import (
+            pack_calibrated_params,
+            pack_calibrated_params_moe,
+        )
         from atom_tpu.utils.checkpoint import save_serving
 
-        assert cfg.arch == Arch.LLAMA, "serving export is Llama-arch only"
+        assert cfg.arch in (Arch.LLAMA, Arch.MIXTRAL), (
+            "serving export covers the two served arches (Llama, Mixtral)"
+        )
+        pack = (
+            pack_calibrated_params_moe
+            if cfg.arch == Arch.MIXTRAL
+            else pack_calibrated_params
+        )
         orig_reordered = (
             reorder_model(orig_params, cfg, indices)
             if orig_params is not None and spec.reorder
             else orig_params
         )
-        sp = pack_calibrated_params(
+        sp = pack(
             params, cfg, spec,
             orig_params=orig_reordered, gptq_scales=gptq_scales,
         )

@@ -157,11 +157,15 @@ def load_serving(save_dir: str):
 
     import jax.numpy as jnp  # noqa: F401  (bf16 decoding in restore_pytree)
 
-    from atom_tpu.serving.model import init_serving_params
+    from atom_tpu.models.configs import Arch
 
     cfg, spec = load_meta(save_dir)
+    if cfg.arch == Arch.MIXTRAL:
+        from atom_tpu.serving.moe import init_moe_serving_params as init_fn
+    else:
+        from atom_tpu.serving.model import init_serving_params as init_fn
     like = jax.eval_shape(
-        functools.partial(init_serving_params, cfg=cfg, spec=spec),
+        functools.partial(init_fn, cfg=cfg, spec=spec),
         jax.random.PRNGKey(0),
     )
     params = restore_pytree(

@@ -274,13 +274,19 @@ def test_serving_checkpoint_roundtrip(tmp_path):
     from atom_tpu.serving.model import init_serving_params
     from atom_tpu.utils.checkpoint import load_serving, save_serving
 
+    from atom_tpu.serving.moe import init_moe_serving_params
+
     spec = QuantSpec(use_gptq=False)
-    sp = init_serving_params(jax.random.PRNGKey(5), TINY, spec)
-    save_serving(str(tmp_path / "ckpt"), sp, TINY, spec)
-    got, cfg2, spec2 = load_serving(str(tmp_path / "ckpt"))
-    assert cfg2 == TINY and spec2 == spec
-    for a, b in zip(jax.tree.leaves(sp), jax.tree.leaves(got)):
-        assert a.dtype == b.dtype
-        assert np.array_equal(
-            np.asarray(a, np.float32), np.asarray(b, np.float32)
-        )
+    for name, cfg, init in (
+        ("llama", TINY, init_serving_params),
+        ("moe", MOE_TINY, init_moe_serving_params),
+    ):
+        sp = init(jax.random.PRNGKey(5), cfg, spec)
+        save_serving(str(tmp_path / name), sp, cfg, spec)
+        got, cfg2, spec2 = load_serving(str(tmp_path / name))
+        assert cfg2 == cfg and spec2 == spec
+        for a, b in zip(jax.tree.leaves(sp), jax.tree.leaves(got)):
+            assert a.dtype == b.dtype
+            assert np.array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32)
+            )
