@@ -181,6 +181,13 @@ def main(argv=None):
     from atom_tpu.utils.eval import perplexity
 
     cfg = getattr(models, MODEL_PRESETS[args.model])
+    if args.hf_path:
+        # Geometry comes from the checkpoint itself (the reference resolves
+        # everything from the HF config too, model/main.py:17-51); the preset
+        # name then only selects dataset defaults.
+        from atom_tpu.models.hf_loader import config_from_hf
+
+        cfg = config_from_hf(args.hf_path)
     if args.layers:
         cfg = cfg.replace(num_layers=args.layers)
     spec = make_spec(args)

@@ -268,6 +268,69 @@ def test_moe_gptq_pack_and_served_logits():
     assert np.abs(got - want).mean() < 0.25 * np.abs(want).mean()
 
 
+def test_hf_checkpoint_to_engine_journey(tmp_path):
+    """The full user journey: a local HF Llama checkpoint -> CLI calibration
+    (GPTQ) -> --export_serving -> load_serving -> continuous-batching engine
+    generating tokens.  Geometry derives from the checkpoint's own config
+    (the preset name only picks dataset defaults)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from atom_tpu import main as cli
+    from atom_tpu.serving import (
+        KvPool,
+        RequestSet,
+        TextGenConfig,
+        TextGenEngine,
+    )
+    from atom_tpu.serving.model import make_serving_state, make_step_fns
+    from atom_tpu.utils.checkpoint import load_serving
+
+    hf_cfg = LlamaConfig(
+        vocab_size=199, hidden_size=256, intermediate_size=384,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(hf_cfg).eval().save_pretrained(str(tmp_path / "hf"))
+
+    out = str(tmp_path / "srv")
+    cli.main([
+        "tiny-llama", "synthetic", "--hf_path", str(tmp_path / "hf"),
+        "--use_gptq", "--reorder", "--calib_samples", "2",
+        "--seqlen", "64", "--export_serving", out,
+    ])
+
+    params, cfg, spec = load_serving(out)
+    assert cfg.hidden_size == 256 and cfg.num_layers == 2
+
+    page = 128
+    tg = TextGenConfig(
+        batch_size=2, page_size=page, max_seq_len=256,
+        prefill_buckets=(32, 64),
+    )
+    n_pages = 2 * 2 + 2
+    pool = KvPool(cfg.num_layers, n_pages, cfg.num_kv_heads, page, cfg.head_dim)
+    state = make_serving_state(
+        cfg.num_layers, n_pages, 2, cfg.num_kv_heads, page, cfg.head_dim
+    )
+    engine = TextGenEngine(
+        tg, pool, *make_step_fns(params, cfg, spec), state
+    )
+    rng = np.random.Generator(np.random.PCG64(2))
+    rs = RequestSet(
+        np.asarray([5, 9], np.int32),
+        np.asarray([40, 40], np.int32),  # crosses the W=32 ring flush
+        [rng.integers(1, cfg.vocab_size, p).astype(np.int32) for p in (5, 9)],
+    )
+    free_before = pool.num_free_pages
+    res = engine.run(rs, record=True)
+    assert res["output_tokens"] == 80
+    assert all(len(t) == 40 for t in res["tokens"].values())
+    assert pool.num_free_pages == free_before
+
+
 @pytest.mark.quick
 def test_serving_checkpoint_roundtrip(tmp_path):
     """save_serving/load_serving round-trips ServingParams bit-for-bit."""
