@@ -202,27 +202,12 @@ def main(argv=None):
     if args.hf_path:
         params = m.load_hf_params(args.hf_path, cfg)  # gated; local checkpoints only
     elif args.ckpt:
-        from atom_tpu.utils.checkpoint import restore_pytree
+        from atom_tpu.utils.checkpoint import restore_model_params
 
-        # Restore at the checkpoint's full depth, then slice the layer stack
-        # if --layers truncates: restoring into a truncated template would
-        # either fail the shape check or (before it existed) silently leave
-        # the scan-based forward running every saved layer.
+        # Restore at the checkpoint's full depth (shape-checked), slicing the
+        # layer stack if --layers truncates — see restore_model_params.
         full_cfg = getattr(models, MODEL_PRESETS[args.model])
-        try:
-            like = m.init_params(jax.random.PRNGKey(0), full_cfg, jnp.bfloat16)
-            params = restore_pytree(args.ckpt, like)
-            if args.layers:
-                params = {
-                    **params,
-                    "layers": jax.tree.map(
-                        lambda a: a[: args.layers], params["layers"]
-                    ),
-                }
-        except AssertionError:
-            # checkpoint itself saved at truncated depth: restore as-is
-            like = m.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-            params = restore_pytree(args.ckpt, like)
+        params = restore_model_params(args.ckpt, m, full_cfg, args.layers)
     else:
         params = m.init_params(jax.random.PRNGKey(args.seed), cfg, jnp.bfloat16)
     print(f"params ready in {time.time() - t0:.1f}s", flush=True)
@@ -258,6 +243,12 @@ def main(argv=None):
         assert cfg.arch in (Arch.LLAMA, Arch.MIXTRAL), (
             "serving export covers the two served arches (Llama, Mixtral)"
         )
+        if not (spec.quantize_weights and spec.wbits == 4):
+            raise SystemExit(
+                "--export_serving requires the W4 packed serving scheme "
+                f"(got wbits={spec.wbits}); the real-kernel stack serves "
+                "INT4 bodies + INT8 keepers only"
+            )
         pack = (
             pack_calibrated_params_moe
             if cfg.arch == Arch.MIXTRAL

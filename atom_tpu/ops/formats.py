@@ -135,8 +135,18 @@ def pack_gptq_output(
     """
     assert spec.quant_type == QuantType.INT, "packed serving path is INT4"
     assert spec.w_sym
+    assert spec.keeper_precision == KeeperPrecision.INT8, (
+        "keeper grid re-derivation is exact only for the INT8 keeper (FP8 "
+        "keepers round on a non-uniform grid this pack cannot recover)"
+    )
     in_f, out_f = w_fake.shape
     k, g, cg = spec.keeper, spec.weight_group_size, spec.weight_channel_group
+    if (in_f - k) % g != 0:
+        raise ValueError(
+            f"serving pack needs (in_features - keeper) % group == 0, got "
+            f"({in_f} - {k}) % {g}; GPTQ calibrates remainder blocks but the "
+            "packed kernels consume whole 128-groups"
+        )
     n_groups = (in_f - k) // g
     assert gptq_scales.shape == (n_groups, out_f // cg), gptq_scales.shape
 

@@ -96,11 +96,7 @@ def restore_pytree(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def save_quantized(save_dir: str, params, indices, cfg, spec) -> None:
-    os.makedirs(save_dir, exist_ok=True)
-    save_pytree(os.path.join(save_dir, "params.npz"), params)
-    if indices:
-        save_pytree(os.path.join(save_dir, "reorder_indices.npz"), indices)
+def _write_meta(save_dir: str, cfg, spec) -> None:
     meta = {
         "cfg": dataclasses.asdict(cfg),
         "spec": {
@@ -110,6 +106,49 @@ def save_quantized(save_dir: str, params, indices, cfg, spec) -> None:
     }
     with open(os.path.join(save_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
+
+
+def save_quantized(save_dir: str, params, indices, cfg, spec) -> None:
+    os.makedirs(save_dir, exist_ok=True)
+    save_pytree(os.path.join(save_dir, "params.npz"), params)
+    if indices:
+        save_pytree(os.path.join(save_dir, "reorder_indices.npz"), indices)
+    _write_meta(save_dir, cfg, spec)
+
+
+def restore_model_params(path: str, m, full_cfg, layers: int = 0):
+    """Restore accuracy-model params saved by :func:`save_pytree`.
+
+    The template comes from ``jax.eval_shape`` over ``m.init_params`` (no
+    weight materialization).  The checkpoint is tried at ``full_cfg``'s depth
+    first, then — if it was itself saved truncated — at ``layers`` depth; a
+    full-depth restore is sliced down to ``layers`` when given.  Centralizes
+    the truncation handling main.py and scripts share (a silent depth
+    mismatch makes scan-based forwards run a different model than the cfg
+    says — see restore_pytree's shape assert).
+    """
+    import jax.numpy as jnp
+
+    def _like(c):
+        return jax.eval_shape(
+            lambda k: m.init_params(k, c, jnp.bfloat16), jax.random.PRNGKey(0)
+        )
+
+    try:
+        params = restore_pytree(path, _like(full_cfg))
+        if layers:
+            params = {
+                **params,
+                "layers": jax.tree.map(
+                    lambda a: a[:layers], params["layers"]
+                ),
+            }
+        return params
+    except AssertionError:
+        if not layers:
+            raise
+        # checkpoint itself saved at truncated depth
+        return restore_pytree(path, _like(full_cfg.replace(num_layers=layers)))
 
 
 def load_meta(save_dir: str) -> Tuple[Any, Any]:
@@ -136,15 +175,7 @@ def save_serving(save_dir: str, serving_params, cfg, spec) -> None:
     """
     os.makedirs(save_dir, exist_ok=True)
     save_pytree(os.path.join(save_dir, "serving_params.npz"), serving_params)
-    meta = {
-        "cfg": dataclasses.asdict(cfg),
-        "spec": {
-            k: (v.value if hasattr(v, "value") else v)
-            for k, v in dataclasses.asdict(spec).items()
-        },
-    }
-    with open(os.path.join(save_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2, default=str)
+    _write_meta(save_dir, cfg, spec)
 
 
 def load_serving(save_dir: str):

@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     args = ap.parse_args()
 
+    from atom_tpu.models.configs import Arch
     from atom_tpu.serving import (
         KvPool,
         RequestSet,
@@ -41,6 +42,8 @@ def main():
     from atom_tpu.utils.checkpoint import load_serving
 
     params, cfg, spec = load_serving(args.serving_dir)
+    if cfg.arch == Arch.MIXTRAL:
+        from atom_tpu.serving.moe import make_moe_step_fns as make_step_fns  # noqa: F811
     print(f"loaded {args.serving_dir}: L={cfg.num_layers} d={cfg.hidden_size} "
           f"W{spec.wbits}A{spec.abits} gptq={spec.use_gptq}", flush=True)
 

@@ -44,24 +44,15 @@ def main():
         make_serving_state,
         prefill_hidden,
     )
-    from atom_tpu.utils.checkpoint import restore_pytree
+    from atom_tpu.utils.checkpoint import restore_model_params
     from atom_tpu.utils.eval import perplexity
 
     cfg = BYTE_LM
     spec = ATOM_W4A4  # gptq + reorder + kv quant: the ladder's final rung
 
-    # Restore at full depth, then slice (a truncated template would trip the
-    # restore shape check; see main.py's --ckpt handling).
-    like = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    params = restore_pytree(args.ckpt, like)
+    params = restore_model_params(args.ckpt, llama, cfg, args.layers)
     if args.layers:
         cfg = cfg.replace(num_layers=args.layers)
-        params = {
-            **params,
-            "layers": jax.tree.map(
-                lambda a: a[: args.layers], params["layers"]
-            ),
-        }
     batches, test = corpus_loaders(
         nsamples=args.calib_samples, seqlen=args.seqlen,
         corpus_dir=args.corpus_dir,
