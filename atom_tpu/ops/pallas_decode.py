@@ -252,9 +252,14 @@ def _decode_ring_kernel(
         l_prev = jnp.zeros((r_all, 1), jnp.float32)
 
         # --- scores: one block-diagonal MXU dot per nibble plane ---
-        ku = hk_ref[0].astype(jnp.uint8)          # [Hb, D/2, W]
+        # int8 carrier + i32 arithmetic shift for the hi nibble: Mosaic has
+        # no uint8->bfloat16 conversion, but int8->bf16 lowers (same pattern
+        # as the paged blocks below).
+        ku = hk_ref[0]                            # int8 [Hb, D/2, W]
         k_lo = (ku & 0x0F).astype(jnp.bfloat16).reshape(hb * half, w)
-        k_hi = (ku >> 4).astype(jnp.bfloat16).reshape(hb * half, w)
+        k_hi = (
+            (ku.astype(jnp.int32) >> 4) & 0x0F
+        ).astype(jnp.bfloat16).reshape(hb * half, w)
 
         sub = jax.lax.broadcasted_iota(jnp.int32, (r_all, hb * half), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (r_all, hb * half), 1)

@@ -422,16 +422,24 @@ def _quant_prologue(
     y32 = y_ref[:].astype(jnp.float32)
     if wg_ref is not None:
         # exact ``models.nn.rmsnorm`` numerics: f32 statistics, round to the
-        # hidden dtype, weight product rounded to the weight dtype.  The
-        # roundings use ``lax.reduce_precision`` — astype round-trips
-        # (f32 -> bf16 -> f32) get ELIDED by XLA inside a fused kernel
-        # program, which silently skips the rounding the unfused path
-        # applies (measured: 1-bf16-ulp fuzz flipping ~2% of INT4 codes);
-        # reduce_precision is never elided.
+        # hidden dtype, weight product rounded to the weight dtype.  astype
+        # round-trips (f32 -> bf16 -> f32) get ELIDED by the compiler inside
+        # a fused kernel program, which silently skips the rounding the
+        # unfused path applies (measured: 1-bf16-ulp fuzz flipping ~2% of
+        # INT4 codes), and ``lax.reduce_precision`` has no Mosaic lowering —
+        # so the bf16 rounding is integer bit math (round-to-nearest-even,
+        # bitwise == XLA's f32->bf16 convert for finite/inf inputs; NaN
+        # payloads may differ, and no NaN reaches the norm prologue).
         def rp(v, dt):
             fi = jnp.finfo(dt)
             if fi.bits >= 32:
                 return v
+            if dt == jnp.bfloat16:
+                u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+                u = (
+                    u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+                ) & jnp.uint32(0xFFFF0000)
+                return jax.lax.bitcast_convert_type(u, jnp.float32)
             return jax.lax.reduce_precision(v, fi.nexp, fi.nmant)
 
         var = jnp.mean(y32 * y32, axis=1, keepdims=True)
