@@ -859,8 +859,13 @@ def _kv_quantize_tile(x, head_dim):
         scale = jnp.maximum(xmax - xmin, 1e-5) / 15.0
         scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
         zero = jnp.clip(jnp.round(-xmin / scale), 0.0, 15.0)
+        # int32 carriers: Mosaic only lowers non-no-op dim insertion
+        # (``x[:, :, None]`` broadcasts at the store sites below) for 32-bit
+        # types — the ring stores narrow to int8 AFTER the broadcast/select.
         codes.append(
-            jnp.clip(jnp.round(blk / scale) + zero, 0.0, 15.0).astype(jnp.int8)
+            jnp.clip(jnp.round(blk / scale) + zero, 0.0, 15.0).astype(
+                jnp.int32
+            )
         )
         zeros.append((-zero * scale).astype(jnp.bfloat16).astype(jnp.float32))
         scales.append(scale)
@@ -929,11 +934,15 @@ def _qkv_ring_epilogue(
             jnp.int32, (q_ref.shape[0], half, w_ring), 2
         )
         for h in range(heads):
-            cu = codes[h].astype(jnp.uint8)  # [tm, D] u4 values
-            packed = (cu[:, :half] & 0x0F) | (cu[:, half:] << 4)
+            cu = codes[h]  # int32 [tm, D] u4 values (0..15)
+            packed = cu[:, :half] | (cu[:, half:] << 4)  # 0..255 in i32
+            # select in i32 (dim insertion on i8 has no Mosaic lowering),
+            # then modular-truncate to i8 — bitwise what the u8 path stored
             kc_ref[:, h] = jnp.where(
-                lane == row, packed.astype(jnp.int8)[:, :, None], kc_in[:, h]
-            )
+                lane == row,
+                packed[:, :, None],
+                kc_in[:, h].astype(jnp.int32),
+            ).astype(jnp.int8)
         store_prm(scales, zeros, n_q_tiles, 0)
 
     @pl.when(j >= n_q_tiles + n_k_tiles)
@@ -946,7 +955,8 @@ def _qkv_ring_epilogue(
             # write ring row row_sub of this 8-row block; rows pass through
             # from the aliased input otherwise
             vc_ref[:, h] = jnp.where(
-                sub == row_sub, codes[h][:, None, :], vc_in[:, h]
+                sub == row_sub, codes[h][:, None, :], vc_in[:, h].astype(
+                    jnp.int32)
             ).astype(jnp.int8)
         store_prm(scales, zeros, n_q_tiles + n_k_tiles, 2)
 

@@ -137,16 +137,26 @@ def _fused_mlp_kernel(
             uwp_ref, uwk_ref, uss_ref, usk_ref
         )  # [tm, tn_gu] f32
         # requantize per 128-block; the block covering the LAST 128 channels
-        # of the intermediate is the down-proj keeper (INT8, no clip)
+        # of the intermediate is the down-proj keeper (INT8, no clip).
+        # inter % tn_gu == 0, so the keeper is exactly the LAST block of the
+        # LAST phase-1 step — every other bi is statically pure-body (no
+        # select at all), and the one remaining select runs in int32: the
+        # current Mosaic has no sub-32-bit lowering for this op family
+        # (scalar-pred i8 vselect / i8 dim insertion — the latter is a hard
+        # compile error elsewhere; hardware parity failed here before this).
         for bi in range(nblk):
             blk = act[:, bi * GROUP : (bi + 1) * GROUP]
             c4, s4 = _quant_block_sym(blk, abits, a_clip)
-            c8, s8 = _quant_block_sym(blk, 8, 1.0)
-            is_keeper = (g * tn_gu + (bi + 1) * GROUP) > (inter - GROUP)
-            qa_ref[g, :, bi * GROUP : (bi + 1) * GROUP] = jnp.where(
-                is_keeper, c8, c4
-            )
-            as_ref[g, :, bi : bi + 1] = jnp.where(is_keeper, s8, s4)
+            if bi < nblk - 1:
+                qa_ref[g, :, bi * GROUP : (bi + 1) * GROUP] = c4
+                as_ref[g, :, bi : bi + 1] = s4
+            else:
+                c8, s8 = _quant_block_sym(blk, 8, 1.0)
+                is_keeper = g == (g1 - 1)
+                qa_ref[g, :, bi * GROUP : (bi + 1) * GROUP] = jnp.where(
+                    is_keeper, c8.astype(jnp.int32), c4.astype(jnp.int32)
+                ).astype(jnp.int8)
+                as_ref[g, :, bi : bi + 1] = jnp.where(is_keeper, s8, s4)
 
     @pl.when(g >= g1)
     def _down_tile():
