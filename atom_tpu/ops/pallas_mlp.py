@@ -144,19 +144,33 @@ def _fused_mlp_kernel(
         # current Mosaic has no sub-32-bit lowering for this op family
         # (scalar-pred i8 vselect / i8 dim insertion — the latter is a hard
         # compile error elsewhere; hardware parity failed here before this).
+        # Both scratch stores are FULL-TILE at the dynamic leading index g:
+        # dynamic-index partial-tile stores (a 128-lane slice of the 256-lane
+        # code tile, a single lane of the scale tile) are the other op shape
+        # this kernel used and no probe-clean kernel does.
+        code_blocks, scale_cols = [], []
         for bi in range(nblk):
             blk = act[:, bi * GROUP : (bi + 1) * GROUP]
             c4, s4 = _quant_block_sym(blk, abits, a_clip)
             if bi < nblk - 1:
-                qa_ref[g, :, bi * GROUP : (bi + 1) * GROUP] = c4
-                as_ref[g, :, bi : bi + 1] = s4
+                code_blocks.append(c4)
+                scale_cols.append(s4)
             else:
                 c8, s8 = _quant_block_sym(blk, 8, 1.0)
                 is_keeper = g == (g1 - 1)
-                qa_ref[g, :, bi * GROUP : (bi + 1) * GROUP] = jnp.where(
-                    is_keeper, c8.astype(jnp.int32), c4.astype(jnp.int32)
-                ).astype(jnp.int8)
-                as_ref[g, :, bi : bi + 1] = jnp.where(is_keeper, s8, s4)
+                code_blocks.append(
+                    jnp.where(
+                        is_keeper, c8.astype(jnp.int32), c4.astype(jnp.int32)
+                    ).astype(jnp.int8)
+                )
+                scale_cols.append(jnp.where(is_keeper, s8, s4))
+        qa_ref[g] = jnp.concatenate(code_blocks, axis=1)
+        tm_rows = act.shape[0]
+        if nblk < 128:
+            scale_cols.append(
+                jnp.zeros((tm_rows, 128 - nblk), jnp.float32)
+            )
+        as_ref[g] = jnp.concatenate(scale_cols, axis=1)
 
     @pl.when(g >= g1)
     def _down_tile():

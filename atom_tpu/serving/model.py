@@ -292,37 +292,40 @@ def _post_attn(
     """
     g = gather or (lambda v: v)
 
-    if gather is None and _fused_mlp_ok(x.shape, lp, spec):
-        # Two fused kernels for the whole post-attention half-layer; the only
-        # XLA ops left are the two reorder gathers.  (a) o_proj: in-kernel
-        # dynamic quant prologue + GEMM + residual add; (b) MLP: in-kernel
-        # RMSNorm (rms stats are permutation-invariant, so norm-after-gather
-        # with the pre-gathered weight is exact) + input quant -> gate/up
-        # dots -> SiLU*mul -> requant -> down dots -> residual add.  The
-        # [B, 2*inter] f32 intermediate and all three dynamic-quant XLA
-        # chains never touch HBM (``ops/pallas_mlp.py``).  TP keeps the
-        # unfused path: its gathers must see full feature dims for bitwise
-        # parity.
+    if gather is None and _fused_oproj_ok(x.shape, lp, spec):
+        # Fused kernels for the post-attention half-layer; the only XLA ops
+        # left are the reorder gathers.  (a) o_proj: in-kernel dynamic quant
+        # prologue + GEMM + residual add (hardware-probe-clean, default on);
+        # (b) MLP: in-kernel RMSNorm (rms stats are permutation-invariant,
+        # so norm-after-gather with the pre-gathered weight is exact) +
+        # input quant -> gate/up dots -> SiLU*mul -> requant -> down dots ->
+        # residual add — OPT-IN until its Mosaic divergence is fixed (see
+        # ``_fused_mlp_ok``).  The [B, 2*inter] f32 intermediate and the
+        # dynamic-quant XLA chains never touch HBM (``ops/pallas_mlp.py``).
+        # TP keeps the unfused path: its gathers must see full feature dims
+        # for bitwise parity.
         from atom_tpu.ops.pallas_gemm_packed import packed_w4_gemm_fused_in
-        from atom_tpu.ops.pallas_mlp import fused_mlp_packed
 
         ao = jnp.take(attn_out, lp.o_reorder, axis=-1)
         x = packed_w4_gemm_fused_in(
             ao, lp.wo, resid=x, abits=spec.abits, a_clip=spec.a_clip_ratio,
         )
-        wg = (
-            lp.ln_mlp_g
-            if lp.ln_mlp_g is not None
-            else jnp.take(lp.ln_mlp, lp.mlp_reorder)
-        )
-        y = jnp.take(x, lp.mlp_reorder, axis=-1)
-        return fused_mlp_packed(
-            y, x, lp.wgateup, lp.wdown, norm_w=wg,
-            abits=spec.abits, a_clip=spec.a_clip_ratio,
-        )
+        if _fused_mlp_ok(x.shape, lp, spec):
+            from atom_tpu.ops.pallas_mlp import fused_mlp_packed
 
-    a_in = R.reorder_quant(g(attn_out), lp.o_reorder, spec)
-    x = x + g(quant_gemm_packed(a_in, lp.wo))
+            wg = (
+                lp.ln_mlp_g
+                if lp.ln_mlp_g is not None
+                else jnp.take(lp.ln_mlp, lp.mlp_reorder)
+            )
+            y = jnp.take(x, lp.mlp_reorder, axis=-1)
+            return fused_mlp_packed(
+                y, x, lp.wgateup, lp.wdown, norm_w=wg,
+                abits=spec.abits, a_clip=spec.a_clip_ratio,
+            )
+    else:
+        a_in = R.reorder_quant(g(attn_out), lp.o_reorder, spec)
+        x = x + g(quant_gemm_packed(a_in, lp.wo))
     m_in = R.rmsnorm_reorder_quant(x, lp.ln_mlp, lp.mlp_reorder, spec)
     gu = quant_gemm_packed(m_in, lp.wgateup, out_dtype=jnp.float32)
     inter = gu.shape[1] // 2
@@ -350,12 +353,38 @@ def _fused_spec_ok(spec: QuantSpec) -> bool:
     )
 
 
-def _fused_mlp_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
-    """Gate for the fused post-attention half-layer (fused-in o_proj +
-    fused-MLP kernel): decode batches, canonical Atom spec.
+def _fused_oproj_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
+    """Gate for the fused-in o_proj GEMM (in-kernel quant prologue +
+    residual): decode batches, canonical Atom spec.
 
-    Above 32 rows each extra 32-row m-tile re-streams the full gate/up/down
-    weights from HBM, so prefill keeps the wide unfused GEMMs.
+    Above 32 rows each extra 32-row m-tile re-streams the full weights from
+    HBM, so prefill keeps the wide unfused GEMMs.  Hardware-probe-clean on
+    the current toolchain (scripts/probe_fused_divergence.py [quant]/[norm]:
+    0% beyond flip noise), so default ON.
+    """
+    import os
+
+    m, _ = x_shape
+    n_q = 2 * lp.wo.body_packed.shape[0] + 128  # o_proj input width
+    return (
+        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        and m <= 32
+        and _fused_spec_ok(spec)
+        and (n_q - 128) // 128 <= 112
+    )
+
+
+def _fused_mlp_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
+    """Gate for the fused-MLP kernel (the whole gate/up->SiLU->requant->down
+    block as one phased-grid kernel).
+
+    OPT-IN until hardware parity is restored: on the current toolchain the
+    fused-MLP kernel diverges on real Mosaic (interpret mode is clean) —
+    scripts/probe_fused_divergence.py [mlp0] shows ~13% of outputs beyond
+    rtol 5e-2/atol 1.0 even with the norm prologue removed, so the defect
+    is in the phased gate/up->requant->down structure, not the (separately
+    probed, clean) quant/norm prologues.  Set ATOM_TPU_FUSED_MLP=1 to
+    re-enable once fixed; the unfused chain is the default meanwhile.
     """
     import os
 
@@ -363,12 +392,11 @@ def _fused_mlp_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
 
     m, d = x_shape
     inter = lp.wgateup.body_packed.shape[1] // 2
-    n_q = 2 * lp.wo.body_packed.shape[0] + 128  # o_proj input width
     return (
-        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        os.environ.get("ATOM_TPU_FUSED_MLP", "") == "1"
+        and not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
         and m <= 32
         and _fused_spec_ok(spec)
-        and (n_q - 128) // 128 <= 112
         and fused_mlp_supported(d, inter, spec.keeper, spec.act_group_size)
     )
 

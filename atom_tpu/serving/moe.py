@@ -213,7 +213,11 @@ def _moe_mlp(
 
 
 def _fused_expert_ok(h_shape, lp: MoEServingLayerParams, spec) -> bool:
-    """Gate for the fused per-expert MLP kernel (decode batches only)."""
+    """Gate for the fused per-expert MLP kernel (decode batches only).
+
+    OPT-IN (ATOM_TPU_FUSED_MLP=1) until hardware parity is restored — same
+    kernel and same Mosaic divergence as ``model._fused_mlp_ok``, which see.
+    """
     from atom_tpu.ops.pallas_mlp import fused_mlp_supported
     from atom_tpu.serving.model import _fused_spec_ok
 
@@ -222,7 +226,8 @@ def _fused_expert_ok(h_shape, lp: MoEServingLayerParams, spec) -> bool:
     m, d = h_shape
     inter = lp.wgateup.body_packed.shape[-1] // 2
     return (
-        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        os.environ.get("ATOM_TPU_FUSED_MLP", "") == "1"
+        and not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
         and m <= 32
         and _fused_spec_ok(spec)
         and fused_mlp_supported(d, inter, spec.keeper, spec.act_group_size)
