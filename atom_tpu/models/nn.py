@@ -11,10 +11,24 @@ import jax.numpy as jnp
 
 
 def rmsnorm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """Llama RMSNorm with fp32 statistics."""
+    """Llama RMSNorm with fp32 statistics.
+
+    The reduce_precision pins the bf16 dtype contract on the input: XLA's
+    excess-precision mode may elide the producer's bf16 rounding for this
+    consumer (see ``formats.quantize_activation_packed``), which would feed
+    the fp32 statistics and the downstream quantizer values a real kernel
+    boundary would have rounded.
+    """
     x32 = x.astype(jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        x32 = jax.lax.reduce_precision(x32, 8, 7)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+    xn = x32 * jax.lax.rsqrt(var + eps)
+    if x.dtype == jnp.bfloat16:
+        # pin the hidden-dtype rounding too: the downstream quantizer casts
+        # straight back to f32, making a bare astype round-trip elidable
+        xn = jax.lax.reduce_precision(xn, 8, 7)
+    return xn.astype(x.dtype) * weight
 
 
 def layernorm(

@@ -201,6 +201,15 @@ def quantize_activation_packed(
     k = spec.keeper
     g = spec.act_group_size
     x32 = x.astype(jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        # Enforce the dtype contract: XLA's --xla_allow_excess_precision may
+        # elide a producer's f32->bf16->f32 round-trip INSIDE one program
+        # (Pallas interpret mode inlines kernels, so on CPU even "kernel
+        # outputs" are elidable converts), handing this quantizer UNROUNDED
+        # values while a real-hardware kernel boundary materializes bf16 —
+        # boundary-sitting codes then flip between the two.  reduce_precision
+        # is not elidable and is the identity on already-rounded values.
+        x32 = jax.lax.reduce_precision(x32, 8, 7)
     body, keep = x32[:, : d - k], x32[:, d - k :]
 
     n_groups = (d - k) // g

@@ -409,8 +409,27 @@ def _quant_block_sym(x, bits, clip_ratio):
     return codes.astype(jnp.int8), scale
 
 
+def _rp(v, dt):
+    """Round f32 values to ``dt``'s precision, staying f32-typed.
+
+    bf16 uses integer round-to-nearest-even bit math (bitwise == XLA's
+    f32->bf16 convert for finite/inf inputs) because a plain astype
+    round-trip is elidable and ``lax.reduce_precision`` has no Mosaic
+    lowering; everything else goes through reduce_precision."""
+    fi = jnp.finfo(dt)
+    if fi.bits >= 32:
+        return v
+    if dt == jnp.bfloat16:
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        u = (
+            u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+        ) & jnp.uint32(0xFFFF0000)
+        return jax.lax.bitcast_convert_type(u, jnp.float32)
+    return jax.lax.reduce_precision(v, fi.nexp, fi.nmant)
+
+
 def _quant_prologue(
-    y_ref, wg_ref, qy_ref, qs_ref, *, ngy, abits, a_clip, eps
+    y_ref, wg_ref, qy_ref, qs_ref, *, ngy, abits, a_clip, eps, rstd_ref=None
 ):
     """Dual-path dynamic quantization of a float activation block into VMEM.
 
@@ -418,8 +437,23 @@ def _quant_prologue(
     body with clip + per-token INT8 keeper (final 128 channels), scales in
     ``qs_ref`` columns 0..ngy-1 (body) and ngy (keeper).  With ``wg_ref``
     the RMSNorm runs first (see module comment above).
+
+    ``rstd_ref`` (f32 [tm, 1]): the norm's reciprocal std computed OUTSIDE
+    the kernel in XLA.  The in-kernel variance reduction and rsqrt are the
+    two ops whose Mosaic lowering differs from XLA at the ulp level; those
+    rare input-code flips AMPLIFY through downstream dynamic act-block
+    scales (a flipped absmax rescales all 128 codes of its block — measured
+    8.8% of fused-MLP outputs beyond rtol 5e-2/atol 1.0 at 7B geometry).
+    With the statistic hoisted, every remaining in-kernel op (f32 multiply,
+    integer-math bf16 rounding, the quant divide) is hardware-probe-clean
+    BITWISE vs the unfused XLA chain (scripts/probe_mlp_bisect.py).
     """
     y32 = y_ref[:].astype(jnp.float32)
+    if y_ref.dtype == jnp.bfloat16:
+        # pin the input's bf16 dtype contract: identity on hardware (the
+        # kernel boundary materialized bf16), forces the rounding in
+        # interpret mode where the inlined astype round-trip is elidable
+        y32 = _rp(y32, jnp.bfloat16)
     if wg_ref is not None:
         # exact ``models.nn.rmsnorm`` numerics: f32 statistics, round to the
         # hidden dtype, weight product rounded to the weight dtype.  astype
@@ -430,20 +464,14 @@ def _quant_prologue(
         # so the bf16 rounding is integer bit math (round-to-nearest-even,
         # bitwise == XLA's f32->bf16 convert for finite/inf inputs; NaN
         # payloads may differ, and no NaN reaches the norm prologue).
-        def rp(v, dt):
-            fi = jnp.finfo(dt)
-            if fi.bits >= 32:
-                return v
-            if dt == jnp.bfloat16:
-                u = jax.lax.bitcast_convert_type(v, jnp.uint32)
-                u = (
-                    u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
-                ) & jnp.uint32(0xFFFF0000)
-                return jax.lax.bitcast_convert_type(u, jnp.float32)
-            return jax.lax.reduce_precision(v, fi.nexp, fi.nmant)
+        rp = _rp
 
-        var = jnp.mean(y32 * y32, axis=1, keepdims=True)
-        xn = rp(y32 * jax.lax.rsqrt(var + eps), y_ref.dtype)
+        if rstd_ref is not None:
+            rstd = rstd_ref[:]
+        else:
+            var = jnp.mean(y32 * y32, axis=1, keepdims=True)
+            rstd = jax.lax.rsqrt(var + eps)
+        xn = rp(y32 * rstd, y_ref.dtype)
         y32 = rp(xn * wg_ref[:].astype(jnp.float32), wg_ref.dtype)
     for k in range(ngy):
         codes, scale = _quant_block_sym(
@@ -459,6 +487,7 @@ def _quant_prologue(
 def _gemm_fused_in_kernel(
     y_ref,      # float [tm, K] — gathered (reordered) activation
     wg_ref,     # f32 [1, K] gathered norm weight, or None
+    rstd_ref,   # f32 [tm, 1] XLA-computed norm rstd, or None
     resid_ref,  # [tm, tn] residual tile, or None
     wp_ref, wk_ref, sw_ref,
     out_ref,    # [tm, tn]
@@ -475,12 +504,20 @@ def _gemm_fused_in_kernel(
         _quant_prologue(
             y_ref, wg_ref, qy_ref, qs_ref,
             ngy=ng, abits=abits, a_clip=a_clip, eps=eps,
+            rstd_ref=rstd_ref,
         )
 
     acc = _acc_body_keeper(qy_ref, qs_ref, wp_ref, wk_ref, sw_ref,
                            out_ref.shape, ng)
     if resid_ref is not None:
-        out_ref[:] = resid_ref[:] + acc.astype(out_ref.dtype)
+        # Pin the GEMM-output rounding BEFORE the residual add (non-elidable
+        # _rp): the unfused chain rounds quant_gemm_packed's f32 out to bf16
+        # and then adds — an elidable astype here lets the compiler fold the
+        # add into f32 and round once, a 1-ulp difference that AMPLIFIES
+        # through the next layer's dynamic act scales.
+        out_ref[:] = (
+            resid_ref[:].astype(jnp.float32) + _rp(acc, out_ref.dtype)
+        ).astype(out_ref.dtype)
     else:
         out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -494,6 +531,7 @@ def packed_w4_gemm_fused_in(
     y: jnp.ndarray,            # float [M, K] — gathered activation
     kw: KernelPackedWeight,    # K -> N
     norm_w: jnp.ndarray = None,  # f32 [K] — GATHERED norm weight (w[ridx])
+    rstd: jnp.ndarray = None,    # f32 [M, 1] — XLA-computed norm rstd
     resid: jnp.ndarray = None,   # [M, N] — residual added in-kernel
     abits: int = 4,
     a_clip: float = 1.0,
@@ -523,6 +561,8 @@ def packed_w4_gemm_fused_in(
     pad_n = _round_up(n, tn) - n
     if pad_m:
         y = jnp.pad(y, ((0, pad_m), (0, 0)))
+        if rstd is not None:
+            rstd = jnp.pad(rstd, ((0, pad_m), (0, 0)))
         if resid is not None:
             resid = jnp.pad(resid, ((0, pad_m), (0, 0)))
     if pad_n:
@@ -541,6 +581,10 @@ def packed_w4_gemm_fused_in(
     if norm_w is not None:
         specs.append(pl.BlockSpec((1, ktot), lambda i, j: (0, 0)))
         args.append(norm_w.reshape(1, ktot))
+    if rstd is not None:
+        assert norm_w is not None, "rstd only meaningful with norm_w"
+        specs.append(pl.BlockSpec((tm, 1), lambda i, j: (i, 0)))
+        args.append(rstd)
     if resid is not None:
         specs.append(pl.BlockSpec((tm, tn), lambda i, j: (i, j)))
         args.append(resid)
@@ -549,10 +593,12 @@ def packed_w4_gemm_fused_in(
         off = 1
         wg_ref = refs[off] if norm_w is not None else None
         off += norm_w is not None
+        rstd_ref = refs[off] if rstd is not None else None
+        off += rstd is not None
         resid_ref = refs[off] if resid is not None else None
         off += resid is not None
         return kernel(
-            refs[0], wg_ref, resid_ref, *refs[off : off + 3],
+            refs[0], wg_ref, rstd_ref, resid_ref, *refs[off : off + 3],
             refs[off + 3], refs[off + 4], refs[off + 5],
         )
 
@@ -597,6 +643,12 @@ def quant_gemm_packed(
     a, sa = assemble_activation(qa)
     sw = jnp.concatenate([kw.body_scale, kw.keeper_scale[None, :]], axis=0)
     out = packed_w4_gemm(a, kw.body_packed, kw.keeper, sa, sw, interpret=interpret)
+    if out_dtype == jnp.bfloat16:
+        # pin the rounding: a bare astype feeding a downstream add is an
+        # elidable convert under --xla_allow_excess_precision, making the
+        # residual sum round once instead of twice (1-ulp nondeterminism
+        # vs the fused kernels' in-kernel epilogues)
+        out = jax.lax.reduce_precision(out, 8, 7)
     return out.astype(out_dtype)
 
 
@@ -1013,6 +1065,7 @@ def _gemm_qkv_ring_fused_kernel(
     cos_ref, sin_ref,
     y_ref,    # float [tm, K] — gathered hidden (pre-norm)
     wg_ref,   # f32 [1, K] — gathered attn norm weight
+    rstd_ref,  # f32 [tm, 1] — XLA-computed norm rstd
     wp_ref, wk_ref, sw_ref,
     kc_in, prm_in, vc_in,
     q_ref, kc_ref, prm_ref, vc_ref,
@@ -1036,6 +1089,7 @@ def _gemm_qkv_ring_fused_kernel(
         _quant_prologue(
             y_ref, wg_ref, qy_ref, qs_ref,
             ngy=ng, abits=abits, a_clip=a_clip, eps=eps,
+            rstd_ref=rstd_ref,
         )
 
     acc = _acc_body_keeper(qy_ref, qs_ref, wp_ref, wk_ref, sw_ref,
@@ -1055,10 +1109,10 @@ def _qkv_ring_pallas_call(
     """Shared plumbing for the qkv->hot-ring GEMM variants: geometry checks,
     the ring block specs (k / prm / v regions keyed off the column-tile
     index), the aliased ring outputs, and the grid.  ``gemm_specs`` /
-    ``gemm_args`` are the variant's activation+weight inputs (exactly five,
-    so the hard-coded ring alias indices below stay valid)."""
+    ``gemm_args`` are the variant's activation+weight inputs; the ring
+    aliases are keyed off their count."""
     n = n_q + 2 * n_kv
-    assert len(gemm_specs) == 5 and len(gemm_args) == 5
+    assert len(gemm_specs) == len(gemm_args)
     assert k_codes.shape[0] == m, "ring batch must equal GEMM M (no padding)"
     assert m % 32 == 0, "decode batch must be sublane-aligned"
     # grid = m // tm with tm = min(256, m): a non-multiple m > 256 would
@@ -1111,8 +1165,11 @@ def _qkv_ring_pallas_call(
             jax.ShapeDtypeStruct(prm.shape, jnp.bfloat16),
             jax.ShapeDtypeStruct(v_codes.shape, jnp.int8),
         ],
-        # ring inputs are 8..10 (after 1 prefetch + 7 GEMM inputs), outputs 1..3
-        input_output_aliases={8: 1, 9: 2, 10: 3},
+        # ring inputs follow 1 prefetch + cos/sin + the GEMM inputs;
+        # they alias outputs 1..3 (the updated ring)
+        input_output_aliases={
+            3 + len(gemm_args) + k: 1 + k for k in range(3)
+        },
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -1211,6 +1268,7 @@ def packed_w4_gemm_qkv_ring_fused(
     eps: float = 1e-5,
     tile_n: int = 512,
     interpret: bool = False,
+    rstd: jnp.ndarray = None,  # f32 [M, 1] — XLA-computed norm rstd
 ):
     """``packed_w4_gemm_qkv_ring`` with the RMSNorm + dual-path dynamic
     quantization fused in as the grid-step-0 prologue (float input).
@@ -1229,6 +1287,11 @@ def packed_w4_gemm_qkv_ring_fused(
     tn = tile_n
     assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
     tm = min(256, m)
+    if rstd is None:
+        y32_ = y.astype(jnp.float32)
+        rstd = jax.lax.rsqrt(
+            jnp.mean(y32_ * y32_, axis=-1, keepdims=True) + eps
+        )
 
     kernel = functools.partial(
         _gemm_qkv_ring_fused_kernel,
@@ -1245,11 +1308,15 @@ def packed_w4_gemm_qkv_ring_fused(
         gemm_specs=[
             pl.BlockSpec((tm, ktot), lambda i, j, r: (i, 0)),
             pl.BlockSpec((1, ktot), lambda i, j, r: (0, 0)),
+            pl.BlockSpec((tm, 1), lambda i, j, r: (i, 0)),
             pl.BlockSpec((kb // 2, tn), lambda i, j, r: (0, j)),
             pl.BlockSpec((GROUP, tn), lambda i, j, r: (0, j)),
             pl.BlockSpec((ng + 1, tn), lambda i, j, r: (0, j)),
         ],
-        gemm_args=[y, norm_w.reshape(1, ktot), wp, wk, sw],
+        gemm_args=[
+            y, norm_w.reshape(1, ktot),
+            rstd.astype(jnp.float32).reshape(m, 1), wp, wk, sw,
+        ],
         m=m, n_q=n_q, n_kv=n_kv, tn=tn, head_dim=head_dim,
         cos=cos, sin=sin, k_codes=k_codes, prm=prm, v_codes=v_codes,
         row=row,

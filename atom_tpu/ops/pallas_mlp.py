@@ -51,6 +51,7 @@ from atom_tpu.ops.formats import KernelPackedWeight
 from atom_tpu.ops.pallas_gemm_packed import (
     _quant_block_sym,
     _quant_prologue,
+    _rp,
     _unpack_nibbles,
 )
 
@@ -83,6 +84,7 @@ def _group_dot(qy_ref, qs_ref, wp_ref, sw_ref, ng, tn):
 def _fused_mlp_kernel(
     y_ref,     # [tm, D] — reordered input (normed here iff wg_ref given)
     wg_ref,    # f32 [1, D] — gathered mlp norm weight, or None
+    rstd_ref,  # f32 [tm, 1] — XLA-computed norm rstd, or None
     rs_ref,    # f32 [tm, 1] — per-row output scale (MoE routing), or None
     resid_ref,  # [tm, tn_dn] — residual tile (phase-2 window)
     gwp_ref,   # int8 [ngy*HALF, tn_gu] — gate body planes (window over cols)
@@ -120,6 +122,7 @@ def _fused_mlp_kernel(
         _quant_prologue(
             y_ref, wg_ref, qy_ref, qs_ref,
             ngy=ngy, abits=abits, a_clip=a_clip, eps=eps,
+            rstd_ref=rstd_ref,
         )
 
     @pl.when(g < g1)
@@ -196,17 +199,23 @@ def _fused_mlp_kernel(
                 resid_ref[:].astype(jnp.float32) + rs_ref[:] * acc
             ).astype(out_ref.dtype)
         else:
-            out_ref[:] = resid_ref[:] + acc.astype(out_ref.dtype)
+            # pinned rounding before the residual add — matches the unfused
+            # x + quant_gemm_packed(...) chain (see _gemm_fused_in_kernel)
+            out_ref[:] = (
+                resid_ref[:].astype(jnp.float32) + _rp(acc, out_ref.dtype)
+            ).astype(out_ref.dtype)
 
 
-def _mlp_body(kernel, has_wg, has_rs, *refs):
+def _mlp_body(kernel, has_wg, has_rstd, has_rs, *refs):
     """Adapter injecting None for the absent optional inputs."""
     i = 1
     wg = refs[i] if has_wg else None
     i += has_wg
+    rstd = refs[i] if has_rstd else None
+    i += has_rstd
     rs = refs[i] if has_rs else None
     i += has_rs
-    return kernel(refs[0], wg, rs, *refs[i:])
+    return kernel(refs[0], wg, rstd, rs, *refs[i:])
 
 
 def fused_mlp_supported(d: int, inter: int, keeper: int, group: int) -> bool:
@@ -230,6 +239,7 @@ def fused_mlp_packed(
     gu: KernelPackedWeight,   # K=D, N=2*inter (gate columns, then up)
     dn: KernelPackedWeight,   # K=inter, N=D
     norm_w: jnp.ndarray = None,  # f32 [D] — GATHERED mlp norm weight
+    rstd: jnp.ndarray = None,    # f32 [M, 1] — XLA-computed norm rstd
     row_scale: jnp.ndarray = None,  # f32 [M] — scales the down output
     abits: int = 4,
     a_clip: float = 1.0,
@@ -260,6 +270,13 @@ def fused_mlp_packed(
         tn_dn = 256 if d % 256 == 0 else GROUP
     if inter % tn_gu != 0:
         tn_gu = GROUP
+    if norm_w is not None and rstd is None:
+        # XLA-computed norm statistic (see _quant_prologue's rstd note);
+        # rms stats are permutation-invariant so the gathered y works.
+        y32_ = y.astype(jnp.float32)
+        rstd = jax.lax.rsqrt(
+            jnp.mean(y32_ * y32_, axis=-1, keepdims=True) + eps
+        )
     g1 = inter // tn_gu
     g2 = d // tn_dn
     ngy = (d - GROUP) // GROUP
@@ -290,13 +307,21 @@ def fused_mlp_packed(
         abits=abits, a_clip=a_clip, eps=eps, g1=g1,
     )
     body = functools.partial(
-        _mlp_body, kernel, norm_w is not None, row_scale is not None
+        _mlp_body, kernel, norm_w is not None, rstd is not None,
+        row_scale is not None,
     )
     head_specs = [pl.BlockSpec((tm, d), lambda i, g: (i, 0))]
     head_args = [y]
     if norm_w is not None:
         head_specs.append(pl.BlockSpec((1, d), lambda i, g: (0, 0)))
         head_args.append(norm_w.reshape(1, d))
+    if rstd is not None:
+        assert norm_w is not None, "rstd only meaningful with norm_w"
+        r_ = rstd.astype(jnp.float32).reshape(-1, 1)
+        if pad_m:
+            r_ = jnp.pad(r_, ((0, pad_m), (0, 0)))
+        head_specs.append(pl.BlockSpec((tm, 1), lambda i, g: (i, 0)))
+        head_args.append(r_)
     if row_scale is not None:
         rs = row_scale.astype(jnp.float32).reshape(-1, 1)
         if pad_m:

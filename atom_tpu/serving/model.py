@@ -279,6 +279,19 @@ def _attn_block_common(
     return q, kq, vq
 
 
+def _rms_rstd(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """RMSNorm reciprocal std, computed in XLA exactly as ``nn.rmsnorm``
+    does — passed INTO the fused kernels so their norm prologues share the
+    statistic bitwise with the unfused chain (the in-kernel variance
+    reduction and rsqrt were the only hardware-divergent ops; their rare
+    input-code flips amplified through downstream dynamic act scales)."""
+    x32 = x.astype(jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        x32 = jax.lax.reduce_precision(x32, 8, 7)  # see nn.rmsnorm
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return jax.lax.rsqrt(var + eps)
+
+
 def _post_attn(
     x, attn_out, lp: ServingLayerParams, spec: QuantSpec, gather=None
 ):
@@ -319,8 +332,12 @@ def _post_attn(
                 else jnp.take(lp.ln_mlp, lp.mlp_reorder)
             )
             y = jnp.take(x, lp.mlp_reorder, axis=-1)
+            # norm STATISTIC in XLA (bitwise-shared with the unfused
+            # chain); the normalize/scale/quantize stay in-kernel.  See
+            # ``_quant_prologue``'s rstd note: the in-kernel variance
+            # reduction + rsqrt were the ONLY divergent ops on hardware.
             return fused_mlp_packed(
-                y, x, lp.wgateup, lp.wdown, norm_w=wg,
+                y, x, lp.wgateup, lp.wdown, norm_w=wg, rstd=_rms_rstd(x),
                 abits=spec.abits, a_clip=spec.a_clip_ratio,
             )
     else:
@@ -378,13 +395,16 @@ def _fused_mlp_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
     """Gate for the fused-MLP kernel (the whole gate/up->SiLU->requant->down
     block as one phased-grid kernel).
 
-    OPT-IN until hardware parity is restored: on the current toolchain the
-    fused-MLP kernel diverges on real Mosaic (interpret mode is clean) —
-    scripts/probe_fused_divergence.py [mlp0] shows ~13% of outputs beyond
-    rtol 5e-2/atol 1.0 even with the norm prologue removed, so the defect
-    is in the phased gate/up->requant->down structure, not the (separately
-    probed, clean) quant/norm prologues.  Set ATOM_TPU_FUSED_MLP=1 to
-    re-enable once fixed; the unfused chain is the default meanwhile.
+    DEFAULT ON (round 4).  Round 3 demoted this kernel to opt-in on a
+    hardware-parity failure; round-4 bisection (scripts/probe_mlp_bisect.py,
+    scripts/probe_mlp_min.py) proved the kernel was never miscompiled — the
+    round-3 probe compared against an oracle fed a DIFFERENT-precision input
+    (f32 prenorm vs the kernel's bf16), and the in-kernel variance/rsqrt
+    ulp fuzz amplified through the dynamic act-block scales.  With the norm
+    statistic hoisted to XLA (``rstd``) and the residual-add rounding pinned
+    (``_rp``), the kernel is bitwise-equal to the unfused chain on identical
+    inputs at full 7B geometry on hardware.  ``ATOM_TPU_NO_FUSED_MLP=1``
+    falls back to the unfused chain.
     """
     import os
 
@@ -393,8 +413,7 @@ def _fused_mlp_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
     m, d = x_shape
     inter = lp.wgateup.body_packed.shape[1] // 2
     return (
-        os.environ.get("ATOM_TPU_FUSED_MLP", "") == "1"
-        and not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
         and m <= 32
         and _fused_spec_ok(spec)
         and fused_mlp_supported(d, inter, spec.keeper, spec.act_group_size)
@@ -450,7 +469,7 @@ def _attn_block_decode_ring(
             cos.astype(jnp.float32), sin.astype(jnp.float32),
             hot.k_codes, hot.prm, hot.v_codes, row,
             n_q=n_q, n_kv=n_kv, head_dim=dh,
-            abits=spec.abits, a_clip=spec.a_clip_ratio,
+            abits=spec.abits, a_clip=spec.a_clip_ratio, rstd=_rms_rstd(x),
         )
         return (
             q.reshape(b, cfg.num_heads, dh),

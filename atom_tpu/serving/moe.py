@@ -215,7 +215,7 @@ def _moe_mlp(
 def _fused_expert_ok(h_shape, lp: MoEServingLayerParams, spec) -> bool:
     """Gate for the fused per-expert MLP kernel (decode batches only).
 
-    OPT-IN (ATOM_TPU_FUSED_MLP=1) until hardware parity is restored — same
+    DEFAULT ON (round 4; see serving.model._fused_mlp_ok) — same
     kernel and same Mosaic divergence as ``model._fused_mlp_ok``, which see.
     """
     from atom_tpu.ops.pallas_mlp import fused_mlp_supported
@@ -226,8 +226,7 @@ def _fused_expert_ok(h_shape, lp: MoEServingLayerParams, spec) -> bool:
     m, d = h_shape
     inter = lp.wgateup.body_packed.shape[-1] // 2
     return (
-        os.environ.get("ATOM_TPU_FUSED_MLP", "") == "1"
-        and not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
         and m <= 32
         and _fused_spec_ok(spec)
         and fused_mlp_supported(d, inter, spec.keeper, spec.act_group_size)

@@ -71,8 +71,6 @@ def main():
     # are rounded through bf16 and stored as fp32 carriers).
     # NOTE: data/byte_lm_ckpt.npz predates this rounding (it is plain fp32);
     # all committed ladder rows use that checkpoint consistently.
-    import jax.numpy as jnp
-
     params_bf16 = jax.tree_util.tree_map(
         lambda x: np.asarray(
             jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
