@@ -19,15 +19,17 @@ def rmsnorm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     the fp32 statistics and the downstream quantizer values a real kernel
     boundary would have rounded.
     """
+    from atom_tpu.numerics import rp_bf16
+
     x32 = x.astype(jnp.float32)
     if x.dtype == jnp.bfloat16:
-        x32 = jax.lax.reduce_precision(x32, 8, 7)
+        x32 = rp_bf16(x32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
     xn = x32 * jax.lax.rsqrt(var + eps)
     if x.dtype == jnp.bfloat16:
         # pin the hidden-dtype rounding too: the downstream quantizer casts
         # straight back to f32, making a bare astype round-trip elidable
-        xn = jax.lax.reduce_precision(xn, 8, 7)
+        xn = rp_bf16(xn)
     return xn.astype(x.dtype) * weight
 
 

@@ -209,7 +209,9 @@ def quantize_activation_packed(
         # values while a real-hardware kernel boundary materializes bf16 —
         # boundary-sitting codes then flip between the two.  reduce_precision
         # is not elidable and is the identity on already-rounded values.
-        x32 = jax.lax.reduce_precision(x32, 8, 7)
+        from atom_tpu.numerics import rp_bf16
+
+        x32 = rp_bf16(x32)
     body, keep = x32[:, : d - k], x32[:, d - k :]
 
     n_groups = (d - k) // g

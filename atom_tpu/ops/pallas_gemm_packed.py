@@ -413,19 +413,26 @@ def _rp(v, dt):
     """Round f32 values to ``dt``'s precision, staying f32-typed.
 
     bf16 uses integer round-to-nearest-even bit math (bitwise == XLA's
-    f32->bf16 convert for finite/inf inputs) because a plain astype
+    f32->bf16 convert for finite/inf inputs — NOT for NaNs: a small-payload
+    NaN like 0x7F800001 rounds to +/-Inf, so epilogue call sites that can
+    see NaN accumulators, e.g. from a corrupt checkpoint, propagate Inf
+    where the unfused chain propagates NaN) because a plain astype
     round-trip is elidable and ``lax.reduce_precision`` has no Mosaic
-    lowering; everything else goes through reduce_precision."""
+    lowering.  Sub-32-bit dtypes other than bf16 (fp16) are rejected at
+    trace time: reduce_precision would fail to lower in Mosaic anyway,
+    this just fails loudly and early (ADVICE r4)."""
     fi = jnp.finfo(dt)
     if fi.bits >= 32:
         return v
-    if dt == jnp.bfloat16:
-        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
-        u = (
-            u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
-        ) & jnp.uint32(0xFFFF0000)
-        return jax.lax.bitcast_convert_type(u, jnp.float32)
-    return jax.lax.reduce_precision(v, fi.nexp, fi.nmant)
+    assert dt == jnp.bfloat16, (
+        f"_rp: unsupported sub-32-bit dtype {dt} inside a Pallas kernel "
+        "(only bf16 has a Mosaic-lowerable pinned rounding)"
+    )
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    u = (
+        u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    ) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
 
 
 def _quant_prologue(
@@ -514,7 +521,10 @@ def _gemm_fused_in_kernel(
         # _rp): the unfused chain rounds quant_gemm_packed's f32 out to bf16
         # and then adds — an elidable astype here lets the compiler fold the
         # add into f32 and round once, a 1-ulp difference that AMPLIFIES
-        # through the next layer's dynamic act scales.
+        # through the next layer's dynamic act scales.  NaN caveat: a NaN
+        # accumulator (corrupt checkpoint / overflow) becomes Inf through
+        # _rp's bit math where the unfused chain propagates NaN — both are
+        # loud non-finite failures (see _rp docstring).
         out_ref[:] = (
             resid_ref[:].astype(jnp.float32) + _rp(acc, out_ref.dtype)
         ).astype(out_ref.dtype)
@@ -1288,10 +1298,10 @@ def packed_w4_gemm_qkv_ring_fused(
     assert n_q % tn == 0 and n_kv % tn == 0 and n == n_q + 2 * n_kv
     tm = min(256, m)
     if rstd is None:
-        y32_ = y.astype(jnp.float32)
-        rstd = jax.lax.rsqrt(
-            jnp.mean(y32_ * y32_, axis=-1, keepdims=True) + eps
-        )
+        # shared pinned statistic (see serving/model._rms_rstd + ADVICE r4)
+        from atom_tpu.numerics import rms_rstd
+
+        rstd = rms_rstd(y, eps)
 
     kernel = functools.partial(
         _gemm_qkv_ring_fused_kernel,

@@ -200,7 +200,9 @@ def _fused_mlp_kernel(
             ).astype(out_ref.dtype)
         else:
             # pinned rounding before the residual add — matches the unfused
-            # x + quant_gemm_packed(...) chain (see _gemm_fused_in_kernel)
+            # x + quant_gemm_packed(...) chain (see _gemm_fused_in_kernel).
+            # NaN accumulators round to Inf through _rp's bit math (vs NaN
+            # on the unfused chain) — see _rp's docstring for the caveat.
             out_ref[:] = (
                 resid_ref[:].astype(jnp.float32) + _rp(acc, out_ref.dtype)
             ).astype(out_ref.dtype)
@@ -273,10 +275,12 @@ def fused_mlp_packed(
     if norm_w is not None and rstd is None:
         # XLA-computed norm statistic (see _quant_prologue's rstd note);
         # rms stats are permutation-invariant so the gathered y works.
-        y32_ = y.astype(jnp.float32)
-        rstd = jax.lax.rsqrt(
-            jnp.mean(y32_ * y32_, axis=-1, keepdims=True) + eps
-        )
+        # numerics.rms_rstd applies the same bf16 input pin the hoisted
+        # serving path applies (ADVICE r4: a bare astype here could see
+        # unpinned excess precision under CPU/interpret).
+        from atom_tpu.numerics import rms_rstd
+
+        rstd = rms_rstd(y, eps)
     g1 = inter // tn_gu
     g2 = d // tn_dn
     ngy = (d - GROUP) // GROUP

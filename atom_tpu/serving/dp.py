@@ -36,18 +36,23 @@ def split_requests(rs: RequestSet, dp: int) -> List[RequestSet]:
 
 
 def run_data_parallel(
-    engines: List[TextGenEngine], rs: RequestSet, progress: bool = False
+    engines: List[TextGenEngine], rs: RequestSet, progress: bool = False,
+    record: bool = False,
 ) -> dict:
     """Run the workload across dp engine replicas; returns aggregate stats.
 
     Throughput is the sum over groups against the slowest group's wall clock
     (all groups start together — the deployment-relevant number).
+    ``record=True`` adds per-group token transcripts (``per_group[i]["tokens"]``)
+    for replica-parity checks.
     """
     parts = split_requests(rs, len(engines))
     results: List[dict] = [None] * len(engines)
 
     def worker(i):
-        results[i] = engines[i].run(parts[i], progress=progress and i == 0)
+        results[i] = engines[i].run(
+            parts[i], progress=progress and i == 0, record=record
+        )
 
     threads = [
         threading.Thread(target=worker, args=(i,), daemon=True)

@@ -79,7 +79,7 @@ class TextGenEngine:
         decode_fn: Callable,
         state,
         chunk_fn: Optional[Callable] = None,
-        native: object = "auto",
+        native: object = False,
         lora: bool = False,
     ):
         """``chunk_fn`` (optional) enables MIXED scheduling: prompts are
@@ -107,10 +107,16 @@ class TextGenEngine:
         self.max_pages = -(-cfg.max_seq_len // cfg.page_size)
         # Native C++ scheduler (page allocator + per-step table/lens
         # assembly, scheduler.cc): replaces the Python KvPool bookkeeping on
-        # the step path when available.  ``native``: "auto" (use if it
-        # builds), True (required), False (pure Python).  Page assignment
-        # order is identical to KvPool, so both paths produce the same
-        # tables and tokens.
+        # the step path.  ``native``: True (required), "auto" (use if it
+        # builds), False (pure Python).  Page assignment order is identical
+        # to KvPool, so both paths produce the same tables and tokens.
+        # DEFAULT OFF (VERDICT r4 #6): the assembly alone is 2.5x faster in
+        # C++ (0.025 -> 0.010 ms/step micro), but measured ENGINE host tax
+        # was 0.531 (python) vs 1.041 (native) ms/step over 203 steps on
+        # the tunneled v5e (scripts/measure_host_tax.py, 2026-08-19) — the
+        # loss sits around the reused-buffer jnp.asarray upload on the step
+        # path, not the ctypes calls.  Opt back in only with a measured
+        # engine-level win.
         self.nat = None
         if native:
             try:

@@ -284,12 +284,13 @@ def _rms_rstd(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     does — passed INTO the fused kernels so their norm prologues share the
     statistic bitwise with the unfused chain (the in-kernel variance
     reduction and rsqrt were the only hardware-divergent ops; their rare
-    input-code flips amplified through downstream dynamic act scales)."""
-    x32 = x.astype(jnp.float32)
-    if x.dtype == jnp.bfloat16:
-        x32 = jax.lax.reduce_precision(x32, 8, 7)  # see nn.rmsnorm
-    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    return jax.lax.rsqrt(var + eps)
+    input-code flips amplified through downstream dynamic act scales).
+    Shared with the fused kernels' in-kernel fallbacks via
+    ``numerics.rms_rstd`` (ADVICE r4: the fallbacks previously skipped the
+    bf16 input pin)."""
+    from atom_tpu.numerics import rms_rstd
+
+    return rms_rstd(x, eps)
 
 
 def _post_attn(

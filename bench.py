@@ -30,6 +30,11 @@ def log(msg):
 
 
 def main():
+    from atom_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    cache_dir = enable_compile_cache()
+    if cache_dir:
+        log(f"compilation cache: {cache_dir}")
     from atom_tpu.config import ATOM_W4A4
     from atom_tpu.models.configs import Arch, ModelConfig
     from atom_tpu.serving.kvpool import KvPool

@@ -96,9 +96,99 @@ def _paths():
         finally:
             M.PREFILL_KERNEL_THRESHOLD = old
 
+    def _longctx(key_block):
+        # direct repro of the r3 hardware failure (/tmp/r3_longctx.log):
+        # prefill_hidden at t=2048 through real pages, one-pass + scanned.
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from atom_tpu.config import ATOM_W4A4
+        from atom_tpu.ops.kv_layout import make_kv_pages_kernel
+        from atom_tpu.serving import model as M
+
+        spec = ATOM_W4A4
+        params = M.init_serving_params(jax.random.PRNGKey(0), cfg, spec)
+        t, page = 2048, 256
+        n_pages = t // page + 2
+        table_row = jnp.arange(1, n_pages + 1, dtype=jnp.int32)
+        pages = [
+            make_kv_pages_kernel(
+                n_pages + 2, cfg.num_kv_heads, page, cfg.head_dim
+            )
+            for _ in range(cfg.num_layers)
+        ]
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(0, cfg.vocab_size, t), jnp.int32
+        )
+        old = (M.PREFILL_SCAN_THRESHOLD, M.PREFILL_KEY_BLOCK)
+        M.PREFILL_SCAN_THRESHOLD = 0 if key_block else 10**9
+        M.PREFILL_KEY_BLOCK = key_block or old[1]
+        try:
+            x, new_pages = M.prefill_hidden(params, pages, ids, table_row, cfg, spec)
+            jax.block_until_ready(x)
+        finally:
+            M.PREFILL_SCAN_THRESHOLD, M.PREFILL_KEY_BLOCK = old
+
+    def parity():
+        # Fused-vs-unfused decode_hidden parity ON HARDWARE — the tripwire
+        # for the r3 Mosaic divergence class (~12.7-13% of elements beyond
+        # 0.05).  On-chip the pins make the two paths near-bitwise (round-4
+        # bisection); benign residue is the Mosaic reciprocal-multiply KV
+        # quantize flips (~1.5% of codes -> well under 2% of outputs here).
+        # The CPU suite CANNOT measure this (interpret-mode excess
+        # precision seeds ~13% benign drift — tests/test_serving.py).
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+        from atom_tpu.config import QuantSpec
+        from atom_tpu.models.configs import Arch, ModelConfig
+        from atom_tpu.serving.model import (
+            decode_hidden,
+            init_serving_params,
+            make_serving_state,
+        )
+
+        pcfg = ModelConfig(
+            arch=Arch.LLAMA, vocab_size=199, hidden_size=512,
+            intermediate_size=768, num_layers=2, num_heads=8,
+            num_kv_heads=4, head_dim=128, max_position_embeddings=512,
+        )
+        spec = QuantSpec(weight_channel_group=1)
+        b, n_pages, page = 32, 12, 128
+        params = init_serving_params(jax.random.PRNGKey(5), pcfg, spec)
+        rng = np.random.Generator(np.random.PCG64(6))
+        ids = jnp.asarray(rng.integers(1, pcfg.vocab_size, b), jnp.int32)
+        table = jnp.zeros((b, 2), jnp.int32)
+        lens = jnp.ones((b,), jnp.int32)
+        outs = {}
+        for name, sp in (
+            ("fused", spec), ("nofuse", spec.replace(fused_serving=False))
+        ):
+            state = make_serving_state(
+                pcfg.num_layers, n_pages, b, pcfg.num_kv_heads, page,
+                pcfg.head_dim,
+            )
+            x, _ = decode_hidden(params, state, ids, table, lens, pcfg, sp)
+            outs[name] = np.asarray(x, np.float32)
+        diff = np.abs(outs["fused"] - outs["nofuse"])
+        moved = float(np.mean(diff > 0.05))
+        bitwise = float(np.mean(outs["fused"] == outs["nofuse"]))
+        print(
+            f"parity: bitwise {bitwise:.4%}, frac>0.05 {moved:.4%}, "
+            f"max|d| {diff.max():.3f}"
+        )
+        assert moved < 0.02, (
+            f"HARDWARE fused/unfused divergence: {moved:.2%} beyond 0.05 "
+            f"(r3 failure class was 12.7-13%)"
+        )
+
     return {
         "fused": w4a4_fused,
         "unfused": w4a4_unfused,
+        "parity": parity,
+        "longctx2048": lambda: _longctx(0),
+        "longctx2048_scan": lambda: _longctx(1024),
         "w8a8": lambda: burst_throughput_baseline(cfg, 32, 512, "w8a8", n_steps=1),
         "bf16": lambda: burst_throughput_baseline(cfg, 32, 512, "bf16", n_steps=1),
         "w4a16": lambda: burst_throughput_baseline(cfg, 32, 512, "w4a16", n_steps=1),
@@ -113,6 +203,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--paths", default="")
     args = ap.parse_args(argv)
+    from atom_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     paths = _paths()
     names = [n for n in args.paths.split(",") if n] or list(paths)
     failures = 0

@@ -188,22 +188,23 @@ def test_fused_decode_hidden_matches_unfused():
     """One decode step at the GQA geometry, fused_serving on vs off, same
     params/state: hidden states agree to quantization-flip tolerance.
 
-    Bound calibration (round 4): the fused kernels are BITWISE-equal to the
-    unfused chains on captured leaf inputs (norm statistic hoisted to XLA as
-    ``rstd``, residual-add rounding pinned via ``_rp``, the quantizer's
-    bf16 dtype contract pinned via ``reduce_precision`` — see
-    ``pallas_gemm_packed._quant_prologue``).  What remains is 1-ulp f32
-    fuzz BETWEEN SEPARATELY-COMPILED programs (FMA/reassociation choices
-    differ per program instance under the conftest-selected CPU client),
-    which dynamic act-block scales amplify: one flipped absmax rescales
-    all 128 codes of its block.  Measured at this 2-layer random-weight
-    geometry: 9.7% of elements move >0.05 (max 0.6) — DETERMINISTIC, and
-    0.0% under the env-selected CPU client (same jaxpr!).  The bound is a
-    regression tripwire for structural errors (a real bug moves ~every
-    element or blows max|d| past O(1)), not a ulp-parity assertion; exact
-    parity is pinned by the leaf-level tests in test_pallas_fused_in.py /
-    test_pallas_mlp.py and the hardware probes
-    (scripts/probe_mlp_bisect.py, scripts/probe_mlp_min.py)."""
+    Bound calibration (round 5): the fused kernels are BITWISE-equal to the
+    unfused chains on captured leaf inputs ON HARDWARE (norm statistic
+    hoisted to XLA as ``rstd``, residual-add rounding pinned via ``_rp``,
+    the quantizer's bf16 dtype contract pinned via ``reduce_precision``).
+    On the CPU CLIENT this suite runs under, 1-ulp f32 fuzz BETWEEN
+    SEPARATELY-COMPILED programs (FMA/reassociation/excess-precision
+    choices differ per program instance) seeds ~0.05% quantizer code flips
+    (scripts/probe_cpu_parity.py), which dynamic act-block scales amplify —
+    one flipped absmax rescales all 128 codes of its block — to a measured
+    13.3% of elements moving >0.05 after 2 layers on the current toolchain
+    (was 9.7% on round 4's).  That overlaps the 12.7-13% damage of the r3
+    HARDWARE divergence, so this CPU test CANNOT be the tripwire for that
+    class (ADVICE r4): the hardware tripwire is ``scripts/hw_smoke.py
+    --paths parity`` (frac>0.05 < 2% on-chip, where the pins make the
+    paths near-bitwise), run at the top of every TPU queue.  Here we keep
+    only the structural bound: a real wiring bug moves ~every element or
+    blows max|d| past O(1)."""
     from atom_tpu.serving.model import decode_hidden
 
     cfg = GQA_FUSED_CFG
@@ -227,7 +228,9 @@ def test_fused_decode_hidden_matches_unfused():
     # the damage (a systematic error would move EVERY element), don't demand
     # element-wise closeness
     diff = np.abs(outs["fused"] - outs["nofuse"])
-    assert np.mean(diff > 0.05) < 0.15, (
+    # structural bound only — see docstring; the r3-failure-class tripwire
+    # lives in hw_smoke's on-chip parity path, not in this CPU suite
+    assert np.mean(diff > 0.05) < 0.25, (
         f"{np.mean(diff > 0.05):.2%} elements moved > 0.05"
     )
     assert diff.max() < 1.5, f"max divergence {diff.max():.3f}"
