@@ -64,9 +64,14 @@ def main():
     wg_mlp = jnp.take(ln_w, ridx)
 
     def rstd_of(x_):
-        x32 = x_.astype(jnp.float32)
-        return jax.lax.rsqrt(
-            jnp.mean(x32 * x32, axis=-1, keepdims=True) + 1e-5)
+        # the PINNED statistic (numerics.rms_rstd) — a bare astype here lets
+        # XLA elide x_'s bf16 round-trip on HARDWARE too, feeding the fused
+        # kernel a different-precision rstd than the unfused chain computes
+        # (the r3 oracle-bug class; it made this script's qkv parity report
+        # ~0.5% kc / ~4% kp divergence that the kernel never had)
+        from atom_tpu.numerics import rms_rstd
+
+        return rms_rstd(x_, 1e-5)
 
     def fused(x_):
         # EXACTLY the production configuration (serving/model.py _post_attn):
@@ -193,16 +198,15 @@ def main():
     np.testing.assert_allclose(qg, qw, rtol=5e-2, atol=0.5)
     # Compare ONLY the written ring column (row=5): the other W-1 columns
     # are zero in both paths and would dilute the fraction 32x.
-    # Bounds (round 4, post-reset toolchain): the current Mosaic lowers the
-    # KV-quantize divisions (blk/scale, -xmin/scale with a COARSE bf16
-    # scale) as reciprocal-multiply, flipping ~0.5% of boundary-sitting u4
-    # codes vs XLA's exact division (measured kc 98.98% equal; q/kp clean).
-    # The pre-reset 99.9% bound never ran on this toolchain (the round-3
-    # invocation died earlier, at the since-fixed MLP gate).
+    # Bounds restored to 0.999 (round 5 / ADVICE r4): the earlier ~0.5% kc
+    # flips attributed to Mosaic reciprocal-multiply were an ORACLE bug —
+    # rstd_of fed the fused kernel an unpinned statistic (see above).  With
+    # the pinned rstd the paths are near-bitwise on hardware, matching
+    # hw_smoke's bitwise decode_hidden parity.
     for nm, a, b, bound in (
-        ("kc", qf_[1][..., 5], qu[1][..., 5], 0.985),
-        ("kp", qf_[2][..., 5], qu[2][..., 5], 0.99),
-        ("vc", qf_[3][:, :, 5, :], qu[3][:, :, 5, :], 0.985),
+        ("kc", qf_[1][..., 5], qu[1][..., 5], 0.999),
+        ("kp", qf_[2][..., 5], qu[2][..., 5], 0.999),
+        ("vc", qf_[3][:, :, 5, :], qu[3][:, :, 5, :], 0.999),
     ):
         same = float(np.mean(np.asarray(a) == np.asarray(b)))
         if same <= bound:

@@ -215,6 +215,43 @@ def main():
         return e, c2, s2
     timed("embed", f_embed, [x], 0)
 
+    # --- in-situ layer cost (round 5): the isolated phases above can
+    # pipeline across bench_op iterations in ways the real serialized step
+    # cannot, so ALSO time the full production decode_hidden at 1 and 2
+    # layers; (dh2 - dh1) is the true marginal per-layer cost INCLUDING the
+    # inter-kernel stitching the phase sum misses.
+    from atom_tpu.serving.model import decode_hidden, make_serving_state
+
+    def dh_phase(n_layers):
+        cfgn = cfg.replace(num_layers=n_layers)
+        pn = init_serving_params(ks[5], cfgn, spec)
+        staten = make_serving_state(
+            n_layers, b * n_pages_per + 1, b, h, page, dh
+        )
+        staten = staten._replace(
+            flushed=jnp.full((b,), ctx, jnp.int32), row=jnp.int32(5)
+        )
+
+        def f(emb):
+            p2 = pn._replace(embed=emb)
+            x2, st2 = decode_hidden(
+                p2, staten, ids, table, lens, cfgn, spec
+            )
+            # keep the ring stores live without summing the page arrays
+            # (their jnp.sum would add ~140 MB of fake traffic per iter)
+            return (x2, st2.hot[0].k_codes, st2.hot[0].prm,
+                    st2.hot[0].v_codes)
+
+        return bench_op(f, [pn.embed], perturb_arg=0, iters=100)
+
+    t1 = dh_phase(1)
+    t2 = dh_phase(2)
+    marginal = t2 - t1
+    print(f"\n  decode_hidden 1L {t1*1e6:9.2f} us, 2L {t2*1e6:9.2f} us "
+          f"-> in-situ marginal layer {marginal*1e6:9.2f} us")
+    print(f"  in-situ predicted step: {(marginal*32 + (t1 - marginal) + results['head'])*1e3:.2f} ms "
+          f"(isolated-phase prediction below)")
+
     # Production decode layer (round 3+) runs ONE merged paged+ring kernel;
     # the split paged + hot_merge rows are the pre-round-3 layer, kept for
     # the A/B.  (The in-kernel norm/quant prologues and the one-kernel MLP
