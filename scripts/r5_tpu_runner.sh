@@ -32,9 +32,11 @@ print(float(jnp.sum(x @ x)))" > /tmp/r5_tunnel_probe.log 2>&1; do
 
 while true; do
   if [ -e "$Q/STOP" ]; then echo "runner: STOP"; exit 0; fi
+  # wait for the tunnel BEFORE selecting, so stages added during a wedge
+  # are picked in priority order once it recovers
+  wait_tunnel
   stage=$(ls "$Q" 2>/dev/null | grep '\.sh$' | sort | head -1)
   if [ -z "$stage" ]; then sleep 20; continue; fi
-  wait_tunnel
   name="${stage%.sh}"
   tmo=$(sed -n 's/^# TIMEOUT=\([0-9]*\).*/\1/p' "$Q/$stage" | head -1)
   tmo=${tmo:-7200}
