@@ -1,6 +1,7 @@
 # TIMEOUT=10800
 # First real zero-shot number (VERDICT r4 missing #1): corpus cloze,
 # fp16 vs W4A4, on the TPU.  model/main.py:281-332 analog.
+export JAX_DEFAULT_MATMUL_PRECISION=highest
 cd /root/repo
 set -x
 python -m atom_tpu.main byte-lm corpus \

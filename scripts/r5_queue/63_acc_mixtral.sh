@@ -1,5 +1,6 @@
 # TIMEOUT=10800
 # Mixtral INT4-vs-FP4 delta (north-star config 5 accuracy half), on TPU.
+export JAX_DEFAULT_MATMUL_PRECISION=highest
 cd /root/repo
 set -x
 rm -f ablation_fp4-vs-int4.csv
