@@ -183,10 +183,67 @@ def _paths():
             f"(r3 failure class was 12.7-13%)"
         )
 
+    def parity_7b():
+        # Same check at PRODUCTION width (hidden 4096 / inter 11008, 1
+        # layer): ab_fused_mlp's qkv A/B reports ~1% kc flips at d=4096 on
+        # synthetic scales while the d=512 parity is bitwise — this decides
+        # whether the production geometry is affected or the A/B's
+        # synthetic inputs overstate boundary-sitting codes.
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+        from atom_tpu.config import ATOM_W4A4
+        from atom_tpu.models.configs import Arch, ModelConfig
+        from atom_tpu.serving.model import (
+            decode_hidden,
+            init_serving_params,
+            make_serving_state,
+        )
+
+        pcfg = ModelConfig(
+            arch=Arch.LLAMA, vocab_size=499, hidden_size=4096,
+            intermediate_size=11008, num_layers=1, num_heads=32,
+            num_kv_heads=32, head_dim=128, max_position_embeddings=512,
+        )
+        spec = ATOM_W4A4
+        b, n_pages, page = 32, 12, 128
+        params = init_serving_params(jax.random.PRNGKey(7), pcfg, spec)
+        rng = np.random.Generator(np.random.PCG64(8))
+        ids = jnp.asarray(rng.integers(1, pcfg.vocab_size, b), jnp.int32)
+        table = jnp.zeros((b, 2), jnp.int32)
+        lens = jnp.ones((b,), jnp.int32)
+        outs = {}
+        for name, sp in (
+            ("fused", spec), ("nofuse", spec.replace(fused_serving=False))
+        ):
+            state = make_serving_state(
+                pcfg.num_layers, n_pages, b, pcfg.num_kv_heads, page,
+                pcfg.head_dim,
+            )
+            x, st = decode_hidden(params, state, ids, table, lens, pcfg, sp)
+            outs[name] = (
+                np.asarray(x, np.float32),
+                np.asarray(st.hot[0].k_codes),
+                np.asarray(st.hot[0].v_codes),
+            )
+        diff = np.abs(outs["fused"][0] - outs["nofuse"][0])
+        moved = float(np.mean(diff > 0.05))
+        kc_eq = float(np.mean(outs["fused"][1] == outs["nofuse"][1]))
+        vc_eq = float(np.mean(outs["fused"][2] == outs["nofuse"][2]))
+        print(
+            f"parity_7b: hidden bitwise "
+            f"{float(np.mean(outs['fused'][0] == outs['nofuse'][0])):.4%}, "
+            f"frac>0.05 {moved:.4%}, kc equal {kc_eq:.6%}, "
+            f"vc equal {vc_eq:.6%}"
+        )
+        assert moved < 0.02, f"7B-width fused/unfused divergence {moved:.2%}"
+
     return {
         "fused": w4a4_fused,
         "unfused": w4a4_unfused,
         "parity": parity,
+        "parity_7b": parity_7b,
         "longctx2048": lambda: _longctx(0),
         "longctx2048_scan": lambda: _longctx(1024),
         "w8a8": lambda: burst_throughput_baseline(cfg, 32, 512, "w8a8", n_steps=1),
