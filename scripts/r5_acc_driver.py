@@ -69,55 +69,69 @@ def main():
     from atom_tpu.utils.compile_cache import enable
 
     enable()
+    # ACC_PARTS: comma list of {fp16,cloze,mixtral,ladder}; default all.
+    # Lets a CPU hedge run cloze+mixtral while the TPU queue owns the rest.
+    parts = set(
+        os.environ.get("ACC_PARTS", "fp16,cloze,mixtral,ladder").split(",")
+    )
 
-    fp_csv = "ablation_byte-lm_fp.csv"
-    open(fp_csv, "w").close()
+    sfx = os.environ.get("ACC_SUFFIX", "")
+    fp_csv = f"ablation_byte-lm_fp{sfx}.csv"
 
     # 1. fp16 rung — doubles as the CPU/TPU cross-device check
-    lines = run(
-        "fp16 crosscheck",
-        BYTE + ["--eval_ppl", "--wbits", "16", "--abits", "16",
-                "--no-reorder", "--keeper", "0", "--no-kv_cache"],
-        "targetResult,", fp_csv, "fp16,",
-    )
-    if lines:
-        tpu_ppl = float(lines[0].split(",")[-1])
-        print(f"cross-device: TPU fp16 {tpu_ppl:.6f} vs CPU 2.593714 "
-              f"(delta {tpu_ppl - 2.593714:+.6f})", flush=True)
+    if "fp16" in parts:
+        open(fp_csv, "w").close()
+        lines = run(
+            "fp16 crosscheck",
+            BYTE + ["--eval_ppl", "--wbits", "16", "--abits", "16",
+                    "--no-reorder", "--keeper", "0", "--no-kv_cache"],
+            "targetResult,", fp_csv, "fp16,",
+        )
+        if lines:
+            tpu_ppl = float(lines[0].split(",")[-1])
+            print(f"cross-device: TPU fp16 {tpu_ppl:.6f} vs CPU 2.593714 "
+                  f"(delta {tpu_ppl - 2.593714:+.6f})", flush=True)
 
     # 2. zero-shot corpus cloze (north-star artifact #1)
-    zs = open("zeroshot_byte-lm.csv", "w")
-    zs.write("task,config,acc\n")
-    zs.close()
-    for cfg, argv in (
-        ("fp16", ["--wbits", "16", "--abits", "16", "--no-reorder",
-                  "--keeper", "0", "--calib_samples", "2"]),
-        ("w4a4", W4A4 + ["--use_gptq"]),
-    ):
-        lines = run(
-            f"cloze {cfg}",
-            BYTE + ["--eval_common_sense", "--zs_tasks", "corpus_cloze"]
-            + argv,
-            "INFO corpus_cloze :",
-        )
-        with open("zeroshot_byte-lm.csv", "a") as f:
-            for ln in lines:
-                f.write(ln.replace("INFO ", f"{cfg},") + "\n")
+    if "cloze" in parts:
+        zs_csv = f"zeroshot_byte-lm{sfx}.csv"
+        zs = open(zs_csv, "w")
+        zs.write("task,config,acc\n")
+        zs.close()
+        for cfg, argv in (
+            ("fp16", ["--wbits", "16", "--abits", "16", "--no-reorder",
+                      "--keeper", "0", "--calib_samples", "2"]),
+            ("w4a4", W4A4 + ["--use_gptq"]),
+        ):
+            lines = run(
+                f"cloze {cfg}",
+                BYTE + ["--eval_common_sense", "--zs_tasks", "corpus_cloze"]
+                + argv,
+                "INFO corpus_cloze :",
+            )
+            with open(zs_csv, "a") as f:
+                for ln in lines:
+                    f.write(ln.replace("INFO ", f"{cfg},") + "\n")
 
     # 3. Mixtral INT4 vs FP4 delta (north-star config 5, accuracy half)
-    mx_csv = "ablation_fp4-vs-int4.csv"
-    open(mx_csv, "w").close()
+    mx_csv = f"ablation_fp4-vs-int4{sfx}.csv"
     MX = ["tiny-mixtral", "synthetic", "--eval_ppl", "--seqlen", "512",
           "--calib_samples", "2"]
     MXQ = W4A4 + ["--weight_channel_group", "2", "--kv_cache", "--use_gptq"]
-    run("mixtral int4", MX + MXQ + ["--quant_type", "int"],
-        "targetResult,", mx_csv, "mixtral-int4,")
-    run("mixtral fp4", MX + MXQ + ["--quant_type", "fp"],
-        "targetResult,", mx_csv, "mixtral-fp4,")
-    run("mixtral fp16",
-        MX + ["--wbits", "16", "--abits", "16", "--no-reorder",
-              "--keeper", "0", "--no-kv_cache"],
-        "targetResult,", mx_csv, "mixtral-fp16,")
+    if "mixtral" in parts:
+        open(mx_csv, "w").close()
+        run("mixtral int4", MX + MXQ + ["--quant_type", "int"],
+            "targetResult,", mx_csv, "mixtral-int4,")
+        run("mixtral fp4", MX + MXQ + ["--quant_type", "fp"],
+            "targetResult,", mx_csv, "mixtral-fp4,")
+        run("mixtral fp16",
+            MX + ["--wbits", "16", "--abits", "16", "--no-reorder",
+                  "--keeper", "0", "--no-kv_cache"],
+            "targetResult,", mx_csv, "mixtral-fp16,")
+
+    if "ladder" not in parts:
+        print("=== acc driver complete (parts: %s) ===" % parts, flush=True)
+        return
 
     # 4. FP4 ladder rungs 2-8 (run_atom_ablation.sh flags, QTYPE=fp)
     FP = ["--quant_type", "fp"]
@@ -149,7 +163,7 @@ def main():
             "targetResult,", fp_csv, f"{name},")
 
     print("=== acc driver complete ===", flush=True)
-    for f in (fp_csv, "zeroshot_byte-lm.csv", mx_csv):
+    for f in (fp_csv, f"zeroshot_byte-lm{sfx}.csv", mx_csv):
         print(f"--- {f}")
         print(open(f).read())
 
