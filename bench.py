@@ -106,8 +106,21 @@ def main():
     _ = float(jnp.sum(ids))
     log(f"compile + first burst: {time.perf_counter() - t0:.1f}s")
 
+    # Pin the measurement to the STATED context (round 5): lens/flushed reset
+    # to ctx before every burst, so slope steps run at lens in
+    # [ctx+W, ctx+4W] = [544, 640] instead of drifting to 1024 across the
+    # sample series (r02-r04 protocol) — attention HBM traffic is
+    # proportional to lens, so the drift overstated the ctx-512 step time by
+    # ~1.5 ms/step at 32L.  Timing is content-independent (argmax feeds the
+    # next step either way); ring bookkeeping stays consistent because every
+    # burst is whole ring windows (row returns to 0, flushed == lens).
     def timed(n):
         nonlocal ids, state, lens
+        # fresh buffers each call: state is DONATED into the burst, so the
+        # reset arrays are consumed (and lens must not alias state.flushed)
+        state = state._replace(flushed=jnp.full((batch,), ctx, jnp.int32))
+        lens = jnp.full((batch,), ctx, jnp.int32)
+        jax.block_until_ready(lens)
         t0 = time.perf_counter()
         ids, state, lens = burst(state, ids, lens, n)
         _ = float(jnp.sum(ids))

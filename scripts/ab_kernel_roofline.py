@@ -56,8 +56,11 @@ def _kernel_v1(a_ref, wp_ref, wk_ref, sa_ref, sw_ref, out_ref, *, ng):
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for g in range(ng):
         w_lo, w_hi = _unpack(wp_ref[g * HALF : (g + 1) * HALF, :])
+        # i32 add: Mosaic has no vector<i8> arith.addi (toolchain check
+        # 2026-08-20); the widen is part of consuming the unpack anyway
         acc += (
-            w_lo[0 : out_ref.shape[0], :] + w_hi[0 : out_ref.shape[0], :]
+            w_lo[0 : out_ref.shape[0], :].astype(jnp.int32)
+            + w_hi[0 : out_ref.shape[0], :].astype(jnp.int32)
         ).astype(jnp.float32)
     out_ref[:] = acc + a_ref[:, 0:1].astype(jnp.float32)
 

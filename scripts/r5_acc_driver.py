@@ -72,7 +72,9 @@ def main():
     # ACC_PARTS: comma list of {fp16,cloze,mixtral,ladder}; default all.
     # Lets a CPU hedge run cloze+mixtral while the TPU queue owns the rest.
     parts = set(
-        os.environ.get("ACC_PARTS", "fp16,cloze,mixtral,ladder").split(",")
+        os.environ.get(
+            "ACC_PARTS", "fp16,cloze,mixtral,ladder,intladder"
+        ).split(",")
     )
 
     sfx = os.environ.get("ACC_SUFFIX", "")
@@ -105,7 +107,8 @@ def main():
         ):
             lines = run(
                 f"cloze {cfg}",
-                BYTE + ["--eval_common_sense", "--zs_tasks", "corpus_cloze"]
+                BYTE + ["--eval_common_sense", "--zs_tasks", "corpus_cloze",
+                        "--zs_limit", "256"]
                 + argv,
                 "INFO corpus_cloze :",
             )
@@ -162,10 +165,26 @@ def main():
         run(f"fp4 ladder {name}", BYTE + ["--eval_ppl"] + argv + FP,
             "targetResult,", fp_csv, f"{name},")
 
+    # 5. INT ladder on the SAME checkpoint (round 5: the machine reset
+    # destroyed the gitignored round-4 ckpt, so the committed CPU INT
+    # ladder's checkpoint is gone; re-running both ladders here keeps the
+    # INT-vs-FP comparison internally consistent on the retrained ckpt).
+    int_csv = f"ablation_byte-lm_int{sfx}.csv"
+    if "intladder" in parts:
+        open(int_csv, "w").close()
+        run("int fp16", BYTE + ["--eval_ppl", "--wbits", "16", "--abits",
+                                "16", "--no-reorder", "--keeper", "0",
+                                "--no-kv_cache"],
+            "targetResult,", int_csv, "fp16,")
+        for name, argv in rungs:
+            run(f"int ladder {name}", BYTE + ["--eval_ppl"] + argv,
+                "targetResult,", int_csv, f"{name},")
+
     print("=== acc driver complete ===", flush=True)
-    for f in (fp_csv, f"zeroshot_byte-lm{sfx}.csv", mx_csv):
-        print(f"--- {f}")
-        print(open(f).read())
+    for f in (fp_csv, f"zeroshot_byte-lm{sfx}.csv", mx_csv, int_csv):
+        if os.path.exists(f):
+            print(f"--- {f}")
+            print(open(f).read())
 
 
 if __name__ == "__main__":
