@@ -116,6 +116,9 @@ def main():
                 row[name] = t / (dt * scale)
             except Exception as e:  # OOM etc.
                 print(f"  ctx {t} {name}: FAILED ({type(e).__name__})")
+                import traceback
+
+                traceback.print_exc()
                 row[name] = None
         parts = [
             f"{k}: {v:8.0f} tok/s" if v else f"{k}: {'—':>8}"

@@ -56,3 +56,18 @@ def pytest_collection_modifyitems(config, items):
             continue
         if mod in _QUICK_MODULES or name in _QUICK_TESTS:
             item.add_marker(pytest.mark.quick)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries.
+
+    The XLA CPU client segfaults inside compile after ~180 tests in one
+    process (r4: test_serving_lora.py; r5: the DP x TP engine compile at
+    suite position 180 — both pass in a fresh process).  The crash tracks
+    cumulative live compilation state, so free it per module; this also
+    caps the suite's memory high-water mark."""
+    yield
+    import jax
+
+    jax.clear_caches()
