@@ -371,6 +371,24 @@ def _fused_spec_ok(spec: QuantSpec) -> bool:
     )
 
 
+def _fused_mlp_enabled() -> bool:
+    """Round-5 default: the fused o_proj/MLP kernels are OPT-IN
+    (``ATOM_TPU_FUSED_MLP=1``; ``ATOM_TPU_NO_FUSED_MLP=1`` still forces
+    off).  Under the pinned-ctx bench protocol the fused configuration is
+    a reproducible step-level LOSS at 7B/32L/bs32 — 19.22 ms/step vs
+    18.90 ms unfused — even though the kernels win in isolation (fused MLP
+    142.8 us vs 188.4 unfused) and in a 2-layer in-situ marginal
+    measurement (421 vs 500 us/layer).  The composition deficit at 32L is
+    unexplained (prime suspect: VMEM-pressure-limited cross-kernel DMA
+    prefetch); parity is NOT the issue (bitwise on hardware at production
+    width, hw_smoke parity_7b)."""
+    import os
+
+    if os.environ.get("ATOM_TPU_NO_FUSED_MLP"):
+        return False
+    return bool(os.environ.get("ATOM_TPU_FUSED_MLP"))
+
+
 def _fused_oproj_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
     """Gate for the fused-in o_proj GEMM (in-kernel quant prologue +
     residual): decode batches, canonical Atom spec.
@@ -378,14 +396,12 @@ def _fused_oproj_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
     Above 32 rows each extra 32-row m-tile re-streams the full weights from
     HBM, so prefill keeps the wide unfused GEMMs.  Hardware-probe-clean on
     the current toolchain (scripts/probe_fused_divergence.py [quant]/[norm]:
-    0% beyond flip noise), so default ON.
+    0% beyond flip noise); opt-in per ``_fused_mlp_enabled``.
     """
-    import os
-
     m, _ = x_shape
     n_q = 2 * lp.wo.body_packed.shape[0] + 128  # o_proj input width
     return (
-        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        _fused_mlp_enabled()
         and m <= 32
         and _fused_spec_ok(spec)
         and (n_q - 128) // 128 <= 112
@@ -404,17 +420,16 @@ def _fused_mlp_ok(x_shape, lp: ServingLayerParams, spec: QuantSpec) -> bool:
     ulp fuzz amplified through the dynamic act-block scales.  With the norm
     statistic hoisted to XLA (``rstd``) and the residual-add rounding pinned
     (``_rp``), the kernel is bitwise-equal to the unfused chain on identical
-    inputs at full 7B geometry on hardware.  ``ATOM_TPU_NO_FUSED_MLP=1``
-    falls back to the unfused chain.
+    inputs at full 7B geometry on hardware.  OPT-IN from round 5
+    (``ATOM_TPU_FUSED_MLP=1``) — see ``_fused_mlp_enabled`` for the
+    step-level measurement that demoted it.
     """
-    import os
-
     from atom_tpu.ops.pallas_mlp import fused_mlp_supported
 
     m, d = x_shape
     inter = lp.wgateup.body_packed.shape[1] // 2
     return (
-        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        _fused_mlp_enabled()
         and m <= 32
         and _fused_spec_ok(spec)
         and fused_mlp_supported(d, inter, spec.keeper, spec.act_group_size)

@@ -215,18 +215,16 @@ def _moe_mlp(
 def _fused_expert_ok(h_shape, lp: MoEServingLayerParams, spec) -> bool:
     """Gate for the fused per-expert MLP kernel (decode batches only).
 
-    DEFAULT ON (round 4; see serving.model._fused_mlp_ok) — same
-    kernel and same Mosaic divergence as ``model._fused_mlp_ok``, which see.
+    OPT-IN from round 5 (``ATOM_TPU_FUSED_MLP=1``) — same kernel and same
+    step-level measurement as ``model._fused_mlp_enabled``, which see.
     """
     from atom_tpu.ops.pallas_mlp import fused_mlp_supported
-    from atom_tpu.serving.model import _fused_spec_ok
-
-    import os
+    from atom_tpu.serving.model import _fused_mlp_enabled, _fused_spec_ok
 
     m, d = h_shape
     inter = lp.wgateup.body_packed.shape[-1] // 2
     return (
-        not os.environ.get("ATOM_TPU_NO_FUSED_MLP")
+        _fused_mlp_enabled()
         and m <= 32
         and _fused_spec_ok(spec)
         and fused_mlp_supported(d, inter, spec.keeper, spec.act_group_size)

@@ -29,7 +29,11 @@ def _paths():
     def w4a4_fused():
         os.environ.pop("ATOM_TPU_NO_FUSED_MLP", None)
         os.environ.pop("ATOM_TPU_NO_FUSED_QKV", None)
-        burst_throughput_w4a4(cfg, 32, 512, n_steps=1, head="w8a16")
+        os.environ["ATOM_TPU_FUSED_MLP"] = "1"  # opt-in since round 5
+        try:
+            burst_throughput_w4a4(cfg, 32, 512, n_steps=1, head="w8a16")
+        finally:
+            os.environ.pop("ATOM_TPU_FUSED_MLP", None)
 
     def w4a4_unfused():
         os.environ["ATOM_TPU_NO_FUSED_MLP"] = "1"
@@ -162,6 +166,9 @@ def _paths():
         table = jnp.zeros((b, 2), jnp.int32)
         lens = jnp.ones((b,), jnp.int32)
         outs = {}
+        import os as _os
+
+        _os.environ["ATOM_TPU_FUSED_MLP"] = "1"  # opt-in since round 5
         for name, sp in (
             ("fused", spec), ("nofuse", spec.replace(fused_serving=False))
         ):
@@ -171,6 +178,7 @@ def _paths():
             )
             x, _ = decode_hidden(params, state, ids, table, lens, pcfg, sp)
             outs[name] = np.asarray(x, np.float32)
+        _os.environ.pop("ATOM_TPU_FUSED_MLP", None)
         diff = np.abs(outs["fused"] - outs["nofuse"])
         moved = float(np.mean(diff > 0.05))
         bitwise = float(np.mean(outs["fused"] == outs["nofuse"]))
@@ -214,6 +222,9 @@ def _paths():
         table = jnp.zeros((b, 2), jnp.int32)
         lens = jnp.ones((b,), jnp.int32)
         outs = {}
+        import os as _os
+
+        _os.environ["ATOM_TPU_FUSED_MLP"] = "1"  # opt-in since round 5
         for name, sp in (
             ("fused", spec), ("nofuse", spec.replace(fused_serving=False))
         ):
@@ -227,6 +238,7 @@ def _paths():
                 np.asarray(st.hot[0].k_codes),
                 np.asarray(st.hot[0].v_codes),
             )
+        _os.environ.pop("ATOM_TPU_FUSED_MLP", None)
         diff = np.abs(outs["fused"][0] - outs["nofuse"][0])
         moved = float(np.mean(diff > 0.05))
         kc_eq = float(np.mean(outs["fused"][1] == outs["nofuse"][1]))

@@ -184,7 +184,7 @@ def test_decode_matches_prefill_continuation_gqa_fused():
     )
 
 
-def test_fused_decode_hidden_matches_unfused():
+def test_fused_decode_hidden_matches_unfused(monkeypatch):
     """One decode step at the GQA geometry, fused_serving on vs off, same
     params/state: hidden states agree to quantization-flip tolerance.
 
@@ -207,6 +207,7 @@ def test_fused_decode_hidden_matches_unfused():
     blows max|d| past O(1)."""
     from atom_tpu.serving.model import decode_hidden
 
+    monkeypatch.setenv("ATOM_TPU_FUSED_MLP", "1")  # opt-in since round 5
     cfg = GQA_FUSED_CFG
     b, n_pages = 32, 12
     nofuse = SPEC.replace(fused_serving=False)

@@ -178,12 +178,13 @@ def test_moe_routed_capacity_drop_semantics():
 
 
 @pytest.mark.quick
-def test_moe_fused_experts_match_unfused():
+def test_moe_fused_experts_match_unfused(monkeypatch):
     """Fused per-expert kernels + fused-in o_proj (decode batch) match the
     unfused chain up to quantization-boundary code flips (the in-kernel
     f32 chains contract differently; see tests/test_pallas_fused_in.py)."""
     from atom_tpu.serving.moe import _moe_mlp
 
+    monkeypatch.setenv("ATOM_TPU_FUSED_MLP", "1")  # opt-in since round 5
     fspec = SPEC.replace(fused_serving=True)
     key = jax.random.PRNGKey(11)
     b = 32
